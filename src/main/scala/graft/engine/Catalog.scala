@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Named-dataset catalog: object id <-> parquet dataset under a base directory.
+  *
+  * Spark-native equivalent of the reference's Storage/FileSystem stack
+  * (reference: batch_framework/storage.py:15-253, batch_framework/filesystem.py:100-295).
+  * The reference resolves `id -> id + '.parquet'` (storage.py:133-143) on a local or
+  * Dropbox fsspec filesystem; here ids resolve to parquet *datasets* (directories of
+  * part files) on any Hadoop-compatible FS (local, hdfs://, s3a://, ...), so the same
+  * catalog works unchanged on a 1000-executor cluster over object storage. Chunked /
+  * parallel transfer (filesystem.py:167-295) is native to the Hadoop writers.
+  *
+  * Snapshots: `snapshot(id)` copies a dataset to `{id}_cache`, mirroring the
+  * reference's incremental-cache mechanism (etl.py:86-127).
+  */
+class Catalog(val spark: SparkSession, val baseDir: String) {
+
+  def path(id: String): String = s"$baseDir/$id.parquet"
+
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def read(id: String): DataFrame = spark.read.parquet(path(id))
+
+  /** Full overwrite per run — the reference has no updates (storage.py:151-155). */
+  def write(df: DataFrame, id: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(id))
+
+  def exists(id: String): Boolean = {
+    val p = new Path(path(id))
+    fs(p).exists(p)
+  }
+
+  def drop(id: String): Unit = {
+    val p = new Path(path(id))
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, true)
+    ()
+  }
+
+  def copy(fromId: String, toId: String): Unit = {
+    val src = new Path(path(fromId))
+    val dst = new Path(path(toId))
+    val f = fs(src)
+    if (f.exists(dst)) f.delete(dst, true)
+    FileUtil.copy(f, src, fs(dst), dst, false, spark.sparkContext.hadoopConfiguration)
+    ()
+  }
+
+  // --- incremental-cache snapshots (reference etl.py:86-127) ---
+  def cacheId(id: String): String = id + "_cache"
+  def snapshot(id: String): Unit = copy(id, cacheId(id))
+  def existsCache(id: String): Boolean = exists(cacheId(id))
+  def loadCache(id: String): DataFrame = read(cacheId(id))
+
+  // --- small JSON objects (configs / model artifacts; reference storage.py:77-112) ---
+  def jsonPath(id: String): String = s"$baseDir/$id.json"
+
+  def writeJson(id: String, content: String): Unit = {
+    val p = new Path(jsonPath(id))
+    val out = fs(p).create(p, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readJson(id: String): String = {
+    val p = new Path(jsonPath(id))
+    val in = fs(p).open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+}

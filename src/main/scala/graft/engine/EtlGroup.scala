@@ -1,0 +1,123 @@
+package graft.engine
+
+import java.util.concurrent.{Executors, Semaphore, TimeUnit}
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+/** Composes ETL units into a DAG keyed by shared object ids and executes it
+  * topologically with a concurrency cap.
+  *
+  * Equivalent of the reference's `ETLGroup` + `DagExecutor`
+  * (reference: batch_framework/etl.py:180-314): there, a bipartite id/node DAG is
+  * built (etl.py:267-286) and ready vertices are dispatched to threads behind a
+  * `Semaphore(max_active_run)` (etl.py:253-265). Here, node-level parallelism uses a
+  * fixed thread pool + semaphore on the driver; *within* each node, Spark's scheduler
+  * already parallelizes across all executor cores, so the cap only governs how many
+  * concurrent Spark jobs compete for the cluster (spark.scheduler.mode=FAIR friendly).
+  *
+  * `dropIntermediates` deletes datasets that are neither group inputs nor group
+  * outputs after the run (reference `drop_internal_objs`, etl.py:288-314).
+  */
+class EtlGroup(
+    override val name: String,
+    units: Seq[EtlNode],
+    dropIntermediates: Boolean = false)
+  extends EtlNode {
+
+  private val producedBy: Map[String, EtlNode] = {
+    val m = mutable.Map[String, EtlNode]()
+    for (u <- units; out <- u.outputIds) {
+      require(!m.contains(out), s"EtlGroup '$name': output id '$out' produced by both '${m(out).name}' and '${u.name}'")
+      m(out) = u
+    }
+    m.toMap
+  }
+
+  /** External inputs: consumed by some unit but produced by none. */
+  val inputIds: Seq[String] =
+    units.flatMap(_.inputIds).distinct.filterNot(producedBy.contains)
+
+  /** External outputs: produced but not consumed by any other unit. */
+  val outputIds: Seq[String] = {
+    val consumed = units.flatMap(_.inputIds).toSet
+    units.flatMap(_.outputIds).distinct.filterNot(consumed.contains)
+  }
+
+  def intermediateIds: Seq[String] = {
+    val external = (inputIds ++ outputIds).toSet
+    (units.flatMap(_.inputIds) ++ units.flatMap(_.outputIds)).distinct
+      .filterNot(external.contains)
+  }
+
+  /** unit -> units it depends on (via shared ids). */
+  private val deps: Map[EtlNode, Seq[EtlNode]] =
+    units.map(u => u -> u.inputIds.flatMap(producedBy.get).distinct).toMap
+
+  // fail fast on cycles (reference relies on paradag's DAG checks)
+  locally {
+    val state = mutable.Map[EtlNode, Int]().withDefaultValue(0) // 0=unseen 1=visiting 2=done
+    def visit(u: EtlNode, stack: List[String]): Unit = state(u) match {
+      case 2 => ()
+      case 1 => throw new IllegalArgumentException(
+        s"EtlGroup '$name': dependency cycle through ${(u.name :: stack).reverse.mkString(" -> ")}")
+      case _ =>
+        state(u) = 1
+        deps(u).foreach(visit(_, u.name :: stack))
+        state(u) = 2
+    }
+    units.foreach(visit(_, Nil))
+  }
+
+  def run(cat: Catalog): Unit = execute(cat, maxActiveRun = 1)
+
+  /** Topological execution; up to `maxActiveRun` nodes run concurrently
+    * (reference default 16, examples/run_whole.py:56). */
+  def execute(cat: Catalog, maxActiveRun: Int): Unit = {
+    require(maxActiveRun >= 1)
+    if (maxActiveRun == 1) {
+      // deterministic sequential topo order
+      val done = mutable.Set[EtlNode]()
+      val pending = mutable.Queue[EtlNode](units: _*)
+      while (pending.nonEmpty) {
+        val ready = pending.dequeueAll(u => deps(u).forall(done.contains))
+        require(ready.nonEmpty, s"EtlGroup '$name': no runnable node (unsatisfied external inputs?)")
+        ready.foreach { u => u.execute(cat); done += u }
+      }
+    } else {
+      val pool = Executors.newFixedThreadPool(maxActiveRun)
+      val gate = new Semaphore(maxActiveRun)
+      val remaining = mutable.Map[EtlNode, Int](deps.map { case (u, d) => u -> d.size }.toSeq: _*)
+      val dependents: Map[EtlNode, Seq[EtlNode]] =
+        units.map(u => u -> units.filter(v => deps(v).contains(u))).toMap
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val outstanding = new java.util.concurrent.atomic.AtomicInteger(units.size)
+      val doneLatch = new java.util.concurrent.CountDownLatch(1)
+
+      def submit(u: EtlNode): Unit = pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.acquire()
+          try {
+            if (failure.get() == null) u.execute(cat)
+          } catch { case NonFatal(e) => failure.compareAndSet(null, e) }
+          finally {
+            gate.release()
+            remaining.synchronized {
+              dependents(u).foreach { v =>
+                remaining(v) -= 1
+                if (remaining(v) == 0 && failure.get() == null) submit(v)
+              }
+            }
+            if (outstanding.decrementAndGet() == 0 || failure.get() != null) doneLatch.countDown()
+          }
+        }
+      })
+
+      units.filter(u => deps(u).isEmpty).foreach(submit)
+      doneLatch.await(24, TimeUnit.HOURS)
+      pool.shutdownNow()
+      if (failure.get() != null) throw failure.get()
+      require(outstanding.get() == 0, s"EtlGroup '$name': deadlock — ${outstanding.get()} nodes never became runnable")
+    }
+    if (dropIntermediates) intermediateIds.foreach(cat.drop)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Unit of dataflow: declares `inputIds`/`outputIds`, lifecycle start -> run -> end.
+  *
+  * Spark-native equivalent of the reference's `ETL` base class
+  * (reference: batch_framework/etl.py:27-177). Ids double as DAG vertices; an
+  * [[EtlGroup]] wires nodes by shared ids. `doCache=true` snapshots inputs+outputs
+  * to `{id}_cache` after a successful run (etl.py:86-117), which is how the
+  * reference implements incrementality (previous-run snapshot merge, a pure batch
+  * pattern — no streaming state needed, SURVEY §2.11).
+  */
+trait EtlNode {
+  def name: String = getClass.getSimpleName
+  def inputIds: Seq[String]
+  def outputIds: Seq[String]
+  def doCache: Boolean = false
+
+  /** Pre-run hook (reference `start`, etl.py:74-77). */
+  def start(cat: Catalog): Unit = ()
+
+  /** The actual work: read `inputIds`, write every id in `outputIds`. */
+  def run(cat: Catalog): Unit
+
+  /** Post-run hook (reference `end`). */
+  def end(cat: Catalog): Unit = ()
+
+  /** Full lifecycle. Validates that every declared output actually materialized. */
+  final def execute(cat: Catalog): Unit = {
+    start(cat)
+    run(cat)
+    val missing = outputIds.filterNot(cat.exists)
+    require(missing.isEmpty, s"ETL node '$name' did not materialize outputs: ${missing.mkString(", ")}")
+    if (doCache) (inputIds ++ outputIds).distinct.foreach(cat.snapshot)
+    end(cat)
+  }
+}
+
+/** Register parquet inputs as temp views, run one SQL per output id, write results.
+  *
+  * Equivalent of the reference's `SQLExecutor` (etl.py:317-397): there, inputs are
+  * registered into DuckDB as Arrow tables and each output id maps to one SQL string
+  * wrapped as `SELECT * FROM ({sql})` (etl.py:387). Here the SQL goes through the
+  * full Catalyst pipeline (parse/analyze/optimize/codegen) and each output is a
+  * distributed parquet write — operator boundaries *within* the SQL are pipelined
+  * by whole-stage codegen instead of materialized.
+  *
+  * As in the reference (etl.py:345-349), output ids and SQL keys must agree —
+  * enforced here by construction (`outputIds = sqls.keys`).
+  */
+class SqlNode(
+    override val name: String,
+    val inputIds: Seq[String],
+    sqls: Map[String, String],
+    override val doCache: Boolean = false)
+  extends EtlNode {
+
+  val outputIds: Seq[String] = sqls.keys.toSeq.sorted
+
+  def run(cat: Catalog): Unit = {
+    inputIds.foreach(id => cat.read(id).createOrReplaceTempView(id))
+    outputIds.foreach { out =>
+      val sql = sqls(out)
+      try cat.write(cat.spark.sql(s"SELECT * FROM ($sql)"), out)
+      catch {
+        case e: Throwable =>
+          // error context = node name + SQL text (reference etl.py:218-232)
+          throw new RuntimeException(s"SqlNode '$name' output '$out' failed; SQL:\n$sql", e)
+      }
+    }
+  }
+}
+
+/** Whole-table transform node: `Seq[DataFrame] => Seq[DataFrame]`.
+  *
+  * Equivalent of the reference's `ObjProcessor` (etl.py:400-480) minus the
+  * pandas/pyarrow/vaex container distinction — all four reference container kinds
+  * map to `DataFrame` (SURVEY §1.3). The transform returns *lazy* plans; nothing
+  * materializes until the parquet write, so a transform chain is one Spark job,
+  * not N driver-side table copies.
+  */
+class DfNode(
+    override val name: String,
+    val inputIds: Seq[String],
+    val outputIds: Seq[String],
+    fn: Seq[DataFrame] => Seq[DataFrame],
+    override val doCache: Boolean = false)
+  extends EtlNode {
+
+  def run(cat: Catalog): Unit = {
+    val outs =
+      try fn(inputIds.map(cat.read))
+      catch {
+        case e: Throwable =>
+          throw new RuntimeException(s"DfNode '$name' transform failed", e)
+      }
+    require(outs.length == outputIds.length,
+      s"DfNode '$name': transform returned ${outs.length} tables for ${outputIds.length} output ids")
+    outputIds.zip(outs).foreach { case (id, df) => cat.write(df, id) }
+  }
+}

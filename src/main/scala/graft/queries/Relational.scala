@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.DistinctOn
+
+/** Relational operator surface (SURVEY §2.3-2.8), one oracle-checked query per
+  * operator family, all over the driver's TPC-H-ish testdata.
+  *
+  * Determinism rules for the DuckDB-oracle hash compare:
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - double sums accumulate in DECIMAL(18,2) (exact) and cast back to DOUBLE,
+  *    so Spark's and DuckDB's addition order cannot change the value;
+  *  - any "arbitrary row per key" (DISTINCT ON) query projects keys only or uses
+  *    an explicit total order (SURVEY §7.4).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact sum of a double column: decimal accumulation, double result. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: group-agg (TPC-H Q1 shape)
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // A1 flagship shape: license-node extraction (reference examples/meta.py:102-119)
+    // CTE count -> sentinel filters -> count>=2 gate
+    "q_license_freq" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("license"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("license").isNotNull && col("license") =!= "" &&
+          col("license") =!= "UNKNOWN" && col("cnt") >= 2)
+    }),
+
+    // A2: DISTINCT ON, keys-only projection (reference meta.py:60 etc.)
+    "q_distinct_on" -> ((s, dir) => {
+      DistinctOn.distinctOn(
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"),
+        Seq("l_returnflag", "l_linestatus"))
+    }),
+
+    // A3: best-row-per-key via ordered window (reference canon.py:160-164)
+    "q_top1_per_group" -> ((s, dir) => {
+      DistinctOn.distinctOnOrdered(
+        t(s, dir, "orders"),
+        keys = Seq(col("o_custkey")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // J1: single-key LEFT join (reference group/meta.py:10-24)
+    "q_join_left" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // J1: N-way chained LEFT joins (dimension chain; broadcast-able dims)
+    "q_join_nway" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"), "left")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    }),
+
+    // J2: composite-key LEFT join (reference group/meta.py:40-55 from_id+to_id)
+    "q_join_composite" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(dsum(col("l_extendedprice")).as("max_price"))
+      li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .join(agg, Seq("l_orderkey", "l_linenumber"), "left")
+    }),
+
+    // J3: LEFT join + COALESCE id-remap (reference convertor.py:105-115)
+    "q_join_coalesce" -> ((s, dir) => {
+      val mapping = t(s, dir, "nation")
+        .filter(col("n_nationkey") % 2 === 0)
+        .select(col("n_nationkey").as("old_id"), col("n_regionkey").as("new_id"))
+      t(s, dir, "customer")
+        .join(broadcast(mapping), col("c_nationkey") === col("old_id"), "left")
+        .select(col("c_custkey"), coalesce(col("new_id"), col("c_nationkey")).as("mapped_id"))
+    }),
+
+    // J5: semi-join / EXISTS (reference meta.py:207-215)
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J6: anti-join / NOT EXISTS (reference resolution/main.py:161-174)
+    "q_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // O2: UNION (distinct) of id projections (reference group/meta.py:27-37)
+    "q_union" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_custkey").as("id"))
+        .union(t(s, dir, "customer").select(col("c_custkey").as("id")))
+        .distinct()
+    }),
+
+    // O3: UNION ALL (reference resolution/main.py:231-244)
+    "q_union_all" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_custkey").as("id"))
+        .unionByName(t(s, dir, "customer").select(col("c_custkey").as("id")))
+    }),
+
+    // W1 + F4: row_number + modulo partition key (reference parallize.py:127-142),
+    // made deterministic with an explicit total order
+    "q_window_rownum" -> ((s, dir) => {
+      graft.engine.Partitioned.addPartitionKey(
+        t(s, dir, "orders").select("o_orderkey"), col("o_orderkey"), 8)
+        .select(col("o_orderkey"), col("row_id").cast("long").as("row_id"),
+          col("partition").cast("long").as("partition"))
+    }),
+
+    // P3: filters (null / empty / sentinel / range conjunction)
+    "q_filters" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").isNotNull && col("o_orderpriority") =!= "" &&
+          col("o_orderpriority") =!= "UNKNOWN" && col("o_totalprice") > 1000.0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    }),
+
+    // P5: ordered limit
+    "q_limit" -> ((s, dir) => {
+      t(s, dir, "orders").orderBy("o_orderkey").limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // F2: concat-with-pipe composite key (reference meta.py:83,94)
+    "q_concat_key" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), concat_ws("|", col("c_name"), col("c_mktsegment")).as("key"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_license_freq" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS license, count(*) AS cnt FROM orders GROUP BY 1
+        |) SELECT license, cnt FROM c
+        |WHERE license IS NOT NULL AND license <> '' AND license <> 'UNKNOWN' AND cnt >= 2""".stripMargin,
+
+    "q_distinct_on" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_top1_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_join_nway" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "q_join_composite" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, a.max_price
+        |FROM lineitem l LEFT JOIN (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |  FROM lineitem GROUP BY 1, 2) a
+        |ON l.l_orderkey = a.l_orderkey AND l.l_linenumber = a.l_linenumber""".stripMargin,
+
+    "q_join_coalesce" ->
+      """SELECT c_custkey, COALESCE(m.new_id, c_nationkey) AS mapped_id
+        |FROM customer LEFT JOIN (
+        |  SELECT n_nationkey AS old_id, n_regionkey AS new_id FROM nation WHERE n_nationkey % 2 = 0) m
+        |ON c_nationkey = m.old_id""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_union" ->
+      "SELECT o_custkey AS id FROM orders UNION SELECT c_custkey AS id FROM customer",
+
+    "q_union_all" ->
+      "SELECT o_custkey AS id FROM orders UNION ALL SELECT c_custkey AS id FROM customer",
+
+    "q_window_rownum" ->
+      """SELECT o_orderkey,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_id,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) % 8 AS BIGINT) AS partition
+        |FROM orders""".stripMargin,
+
+    "q_filters" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+        |  AND o_orderpriority <> 'UNKNOWN' AND o_totalprice > 1000.0""".stripMargin,
+
+    "q_limit" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+
+    "q_concat_key" ->
+      "SELECT c_custkey, concat_ws('|', c_name, c_mktsegment) AS key FROM customer"
+  )
+}
