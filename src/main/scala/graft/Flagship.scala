@@ -3,22 +3,35 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Flagship entry: the reference's most representative query shape — license-node
-  * extraction (reference: examples/meta.py:102-120) — run end-to-end *through the
-  * engine* (Catalog + SqlNode), exactly as the reference runs it through
-  * SQLExecutor + storage: read parquet inputs, register views, run SQL, materialize
-  * parquet output, read it back.
+import graft.engine.{Catalog, DfNode, EtlGroup, SqlNode}
+
+/** Flagship entry: a miniature of the reference's whole pipeline
+  * (reference: examples/run_whole.py — tabularize → node/link extraction →
+  * validation), run end-to-end *through the engine*: Catalog + SqlNode/DfNode
+  * composed in an EtlGroup, executed concurrently with intermediates dropped,
+  * exactly as the reference runs GraphConstructor().execute(max_active_run=16).
+  *
+  * Inputs are staged with Catalog.link (no copy); the work dir is removed on JVM
+  * exit so repeated runs do not leak parquet temp dirs.
   */
 object Flagship {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_flagship").toString
-    val cat = new graft.engine.Catalog(spark, work)
+    val work = java.nio.file.Files.createTempDirectory("graft_flagship")
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(work.toFile)
+    }
+    val cat = new Catalog(spark, work.toString)
 
-    // stage inputs into the catalog namespace (id -> parquet)
-    cat.write(spark.read.parquet(s"$sfDir/orders.parquet"), "orders")
+    // stage inputs by reference, not by copy (id -> external parquet)
+    cat.link("orders", s"$sfDir/orders.parquet")
+    cat.link("customer", s"$sfDir/customer.parquet")
 
-    val node = new graft.engine.SqlNode(
+    // license-node extraction (reference examples/meta.py:102-120 shape)
+    val licenseNodes = new SqlNode(
       "license_node_extraction",
       inputIds = Seq("orders"),
       sqls = Map(
@@ -28,7 +41,44 @@ object Flagship {
             |) SELECT xxhash64(license) AS node_id, license, cnt FROM c
             |WHERE license IS NOT NULL AND license <> '' AND license <> 'UNKNOWN' AND cnt >= 2""".stripMargin))
 
-    node.execute(cat)
-    cat.read("license_node").orderBy(col("license"))
+    // customer-node extraction (reference examples/meta.py:55-70 shape)
+    val customerNodes = new SqlNode(
+      "customer_node_extraction",
+      inputIds = Seq("customer"),
+      sqls = Map(
+        "customer_node" ->
+          "SELECT DISTINCT xxhash64(c_name) AS node_id, c_name AS name FROM customer WHERE c_name IS NOT NULL"))
+
+    // customer -[ordered_with]-> license links (reference examples/meta.py:121-160 shape)
+    val links = new SqlNode(
+      "order_license_links",
+      inputIds = Seq("orders", "customer", "license_node"),
+      sqls = Map(
+        "order_license_link" ->
+          """SELECT DISTINCT xxhash64(c.c_name) AS from_id, xxhash64(o.o_orderpriority) AS to_id
+            |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            |WHERE EXISTS (SELECT 1 FROM license_node n WHERE n.license = o.o_orderpriority)""".stripMargin))
+
+    // LinkIDValidator (reference examples/graph/validate.py:8-43): endpoint ids ⊆ node ids
+    val validate = new DfNode(
+      "link_id_validator",
+      inputIds = Seq("order_license_link", "license_node", "customer_node"),
+      outputIds = Seq("flagship_graph"),
+      fn = { case Seq(link, licNode, custNode) =>
+        val badFrom = link.join(custNode, link("from_id") === custNode("node_id"), "left_anti").count()
+        val badTo = link.join(licNode, link("to_id") === licNode("node_id"), "left_anti").count()
+        require(badFrom == 0 && badTo == 0,
+          s"link id validation failed: $badFrom bad from_ids, $badTo bad to_ids")
+        Seq(link.join(licNode, link("to_id") === licNode("node_id"))
+          .select(col("from_id"), col("to_id"), col("license"), col("cnt")))
+      })
+
+    val group = new EtlGroup(
+      "flagship_graph_pipeline",
+      Seq(licenseNodes, customerNodes, links, validate),
+      dropIntermediates = false)
+    group.execute(cat, maxActiveRun = 2)
+
+    cat.read("flagship_graph").orderBy(col("license"), col("from_id"))
   }
 }

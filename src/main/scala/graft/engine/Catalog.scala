@@ -18,16 +18,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 class Catalog(val spark: SparkSession, val baseDir: String) {
 
-  def path(id: String): String = s"$baseDir/$id.parquet"
+  // id -> external parquet location registered via link() (no data copy)
+  private val external = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def path(id: String): String =
+    Option(external.get(id)).getOrElse(s"$baseDir/$id.parquet")
+
+  /** Register an existing parquet dataset under an id WITHOUT copying it — the
+    * scale-correct way to stage inputs (a whole-table rewrite per run just to name
+    * a dataset would be a 100 TB copy). Linked ids are read-only by convention:
+    * writes to a linked id fall back to the catalog's own namespace. */
+  def link(id: String, externalPath: String): Unit = {
+    external.put(id, externalPath)
+    ()
+  }
 
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def read(id: String): DataFrame = spark.read.parquet(path(id))
 
-  /** Full overwrite per run — the reference has no updates (storage.py:151-155). */
-  def write(df: DataFrame, id: String): Unit =
+  /** Full overwrite per run — the reference has no updates (storage.py:151-155).
+    * Always writes into the catalog's own namespace, never over a linked input. */
+  def write(df: DataFrame, id: String): Unit = {
+    external.remove(id)
     df.write.mode(SaveMode.Overwrite).parquet(path(id))
+  }
 
   def exists(id: String): Boolean = {
     val p = new Path(path(id))
@@ -52,7 +68,20 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
 
   // --- incremental-cache snapshots (reference etl.py:86-127) ---
   def cacheId(id: String): String = id + "_cache"
-  def snapshot(id: String): Unit = copy(id, cacheId(id))
+
+  /** Snapshot `id` to `{id}_cache`. Copies to a temp name then renames, so a reader
+    * of the cache never observes a half-copied dataset, and two concurrent
+    * snapshots of the same id cannot corrupt it (last rename wins atomically). */
+  def snapshot(id: String): Unit = {
+    val src = new Path(path(id))
+    val tmp = new Path(s"$baseDir/.${id}_cache.tmp${System.nanoTime()}")
+    val dst = new Path(s"$baseDir/${cacheId(id)}.parquet")
+    val f = fs(src)
+    FileUtil.copy(f, src, f, tmp, false, spark.sparkContext.hadoopConfiguration)
+    if (f.exists(dst)) f.delete(dst, true)
+    f.rename(tmp, dst)
+    ()
+  }
   def existsCache(id: String): Boolean = exists(cacheId(id))
   def loadCache(id: String): DataFrame = read(cacheId(id))
 

@@ -2,7 +2,6 @@ package graft.engine
 
 import java.util.concurrent.{Executors, Semaphore, TimeUnit}
 import scala.collection.mutable
-import scala.util.control.NonFatal
 
 /** Composes ETL units into a DAG keyed by shared object ids and executes it
   * topologically with a concurrency cap.
@@ -83,7 +82,7 @@ class EtlGroup(
         require(ready.nonEmpty, s"EtlGroup '$name': no runnable node (unsatisfied external inputs?)")
         ready.foreach { u => u.execute(cat); done += u }
       }
-    } else {
+    } else if (units.nonEmpty) {
       val pool = Executors.newFixedThreadPool(maxActiveRun)
       val gate = new Semaphore(maxActiveRun)
       val remaining = mutable.Map[EtlNode, Int](deps.map { case (u, d) => u -> d.size }.toSeq: _*)
@@ -98,7 +97,7 @@ class EtlGroup(
           gate.acquire()
           try {
             if (failure.get() == null) u.execute(cat)
-          } catch { case NonFatal(e) => failure.compareAndSet(null, e) }
+          } catch { case e: Throwable => failure.compareAndSet(null, e) }
           finally {
             gate.release()
             remaining.synchronized {
@@ -113,9 +112,10 @@ class EtlGroup(
       })
 
       units.filter(u => deps(u).isEmpty).foreach(submit)
-      doneLatch.await(24, TimeUnit.HOURS)
+      val finished = doneLatch.await(24, TimeUnit.HOURS)
       pool.shutdownNow()
       if (failure.get() != null) throw failure.get()
+      require(finished, s"EtlGroup '$name': execution timed out after 24h")
       require(outstanding.get() == 0, s"EtlGroup '$name': deadlock — ${outstanding.get()} nodes never became runnable")
     }
     if (dropIntermediates) intermediateIds.foreach(cat.drop)

@@ -32,8 +32,9 @@ trait EtlNode {
     run(cat)
     val missing = outputIds.filterNot(cat.exists)
     require(missing.isEmpty, s"ETL node '$name' did not materialize outputs: ${missing.mkString(", ")}")
-    if (doCache) (inputIds ++ outputIds).distinct.foreach(cat.snapshot)
     end(cat)
+    // snapshots run after end(), matching the reference's _end ordering (etl.py:74-117)
+    if (doCache) (inputIds ++ outputIds).distinct.foreach(cat.snapshot)
   }
 }
 

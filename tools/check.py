@@ -8,13 +8,16 @@ compares: columns sorted by name, rows sorted, values compared exactly
 
 Usage: python3 tools/check.py [sfdir] [--only q_name,...]
 """
-import sys, os, json, glob, subprocess, math
+import sys, os, json, glob, subprocess
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
 ONLY = None
-for a in sys.argv[1:]:
+_args = sys.argv[1:]
+for i, a in enumerate(_args):
     if a.startswith("--only="):
         ONLY = set(a.split("=", 1)[1].split(","))
+    elif a == "--only" and i + 1 < len(_args):
+        ONLY = set(_args[i + 1].split(","))
 
 OUT = "/tmp/graft_verify"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -49,13 +52,6 @@ def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str)).reset_index(drop=True)
     return df
-
-def values_equal(a, b):
-    if a is b: return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b): return True
-        return a == b
-    return a == b
 
 def main():
     import duckdb, pandas as pd
