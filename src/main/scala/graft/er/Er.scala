@@ -1,0 +1,296 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Entity-resolution pipeline (SURVEY §2.9) — the reference's ML/dataflow heart,
+  * re-expressed as block-bounded DataFrame dataflow:
+  *
+  *   features -> blocking -> candidate pairs -> pair scoring -> connected components
+  *   (MessyFeatureEngineer -> MessyBlocker -> MessyEntityPairer -> MessyPairSelector
+  *    -> MessyClusterer, reference examples/graph/resolution/mapper/messy.py:19-448)
+  *
+  * plus gazetteer matching (CanonMatcher, canon.py:90-231), id rewrite
+  * (convertor.py:17-115) and mapping combination (resolution/main.py:177-244).
+  *
+  * Scale contract (100 TB honest):
+  *  - pair generation is ALWAYS block-bounded — the only join is an equi-join on
+  *    block_key; there is no cross join anywhere in the pipeline;
+  *  - oversized blocks (skewed keys) can be dropped with `maxBlockSize`, the same
+  *    defense dedupe's fingerprinter uses against stop-word blocks;
+  *  - connected components is an iterative DataFrame loop with checkpointing and
+  *    an iteration cap — no driver-side graph materialization.
+  */
+
+/** Feature-expression builders (E1): deterministic replacements for the reference's
+  * `messy_lambda`/`canon_lambda` per-record dicts (examples/meta.py:261-288).
+  * All are codegen'd Catalyst expressions — no UDFs. */
+object Features {
+
+  /** `name.split(' ')[0].split(';')[0]` (meta.py:263). */
+  def beforeWhitespace(c: Column): Column =
+    substring_index(substring_index(c, " ", 1), ";", 1)
+
+  /** `name.split('[')[0].split('(')[0]` (meta.py:264). */
+  def beforeUpperBracket(c: Column): Column =
+    substring_index(substring_index(c, "[", 1), "(", 1)
+
+  /** `name.split('<')[0].split('>')[0].split('=')[0].split('~')[0]` (meta.py:265). */
+  def beforeMarks(c: Column): Column =
+    substring_index(substring_index(substring_index(substring_index(c, "<", 1), ">", 1), "=", 1), "~", 1)
+
+  /** Last whitespace token (gazetteer block predicate for noun-like canon names). */
+  def lastToken(c: Column): Column = substring_index(c, " ", -1)
+
+  /** `'<start> ' + name.split('.')[0]` (meta.py:284-288, F6). */
+  def titlePrefix(c: Column): Column =
+    concat(lit("<start> "), substring_index(c, ".", 1))
+
+  /** `'<start> ' + '.\n'.join(name.split('.')[:n])` (meta.py:286-288, F6). */
+  def firstSentences(c: Column, n: Int): Column =
+    concat(lit("<start> "), array_join(slice(split(c, "\\."), 1, n), ".\n"))
+}
+
+/** One comparison field of the pair-scoring model (reference `dedupe_fields`,
+  * examples/meta.py:255-260): `Exact` -> 0/1 equality, `StringDist` -> normalized
+  * Levenshtein similarity (the Spark-native stand-in for dedupe's affine-gap
+  * string distance, SURVEY §7.4). `weight` is the field's fixed classifier weight. */
+final case class DedupeField(name: String, kind: DedupeField.Kind, weight: Double)
+
+object DedupeField {
+  sealed trait Kind
+  case object Exact extends Kind
+  case object StringDist extends Kind
+
+  /** Per-field similarity in [0,1] between columns `a` and `b`. */
+  def similarity(f: DedupeField, a: Column, b: Column): Column = f.kind match {
+    case Exact => (a === b).cast("double")
+    case StringDist =>
+      lit(1.0) - levenshtein(a, b).cast("double") /
+        greatest(length(a), length(b)).cast("double")
+  }
+}
+
+/** E2 — deterministic blocking: emit (block_key, messy_id) pairs from a predicate
+  * set, the Spark-native port of dedupe's fingerprinter (messy.py:151-206). Each
+  * predicate is a column expression over the feature row; keys are prefixed with
+  * the predicate index so equal values from different predicates never collide
+  * (dedupe's `predicate:value` convention). */
+object Blocking {
+
+  /** Default predicate set ≈ the learned models' usual shape: whole field,
+    * first token, 4-char prefix. */
+  def defaultPredicates(c: Column): Seq[Column] =
+    Seq(c, Features.beforeWhitespace(c), substring(c, 1, 4))
+
+  /** Build the block table. Null/empty keys are dropped (concat propagates null,
+    * so a null field never produces a shared block); output is distinct. */
+  def blockTable(features: DataFrame, idCol: String, predicates: Seq[Column]): DataFrame = {
+    val keyed = predicates.zipWithIndex.map { case (p, i) =>
+      concat(lit(s"$i:"), p.cast("string"))
+    }
+    features
+      .select(col(idCol).as("messy_id"), explode(array(keyed: _*)).as("block_key"))
+      .filter(col("block_key").isNotNull && !col("block_key").rlike("^[0-9]+:$"))
+      .distinct()
+  }
+}
+
+/** E3 — candidate pair generation: self-join of the block table on block_key with
+  * `l.messy_id < r.messy_id` (messy.py:226-242). Strictly block-bounded: cost is
+  * Σ_b |block_b|², never |table|². */
+object Pairing {
+
+  /** Distinct candidate id pairs (east < west). `maxBlockSize > 0` drops blocks
+    * larger than the cap before pairing — skew/stop-word defense; at 100 TB a
+    * single hot key would otherwise produce a quadratic straggler. */
+  def candidatePairs(blocks: DataFrame, maxBlockSize: Int = 0): DataFrame = {
+    val b =
+      if (maxBlockSize <= 0) blocks
+      else {
+        val sizes = blocks.groupBy("block_key").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBlockSize).drop("__n")
+        blocks.join(sizes, Seq("block_key"), "left_semi")
+      }
+    val l = b.select(col("block_key"), col("messy_id").as("east"))
+    val r = b.select(col("block_key"), col("messy_id").as("west"))
+    l.join(r, Seq("block_key"))
+      .filter(col("east") < col("west"))
+      .select("east", "west")
+      .distinct()
+  }
+
+  /** Join per-field features back onto the pairs as `a_*` / `b_*` columns
+    * (the reference's entity_map, messy.py:226-242). */
+  def withFeatures(pairs: DataFrame, features: DataFrame, idCol: String,
+                   fieldNames: Seq[String]): DataFrame = {
+    val a = features.select(col(idCol).as("a_node_id") +: fieldNames.map(f => col(f).as(s"a_$f")): _*)
+    val b = features.select(col(idCol).as("b_node_id") +: fieldNames.map(f => col(f).as(s"b_$f")): _*)
+    pairs
+      .join(a, pairs("east") === a("a_node_id"))
+      .join(b, pairs("west") === b("b_node_id"))
+      .drop("east", "west")
+  }
+}
+
+/** E4 — pairwise match scoring (messy.py:285-413). The reference runs dedupe's
+  * per-field distances + a learned logistic classifier over a process pool; here
+  * the distances are Catalyst expressions and the "pool" is Spark's partitioning.
+  * The default classifier is a fixed-weight mean of field similarities — a
+  * deterministic, oracle-checkable stand-in for the learned weights (SURVEY §7.4:
+  * port the mechanism, not the pickled model). `logistic(w0)` gives the
+  * sigmoid-calibrated variant when probability calibration matters. */
+object Scoring {
+
+  /** Weighted-mean score in [0,1]: Σ w_i·sim_i / Σ w_i, evaluated in field order
+    * (deterministic — products and the left-assoc sum round identically on any
+    * IEEE-754 engine, so a DuckDB oracle reproduces it bit-exactly). */
+  def score(fields: Seq[DedupeField]): Column = {
+    val total = fields.map(_.weight).sum
+    val weighted = fields.map(f =>
+      DedupeField.similarity(f, col(s"a_${f.name}"), col(s"b_${f.name}")) * lit(f.weight))
+    weighted.reduceLeft(_ + _) / lit(total)
+  }
+
+  /** Sigmoid-calibrated score: 1/(1+e^-(w0 + Σ w_i·sim_i)). Same monotone order as
+    * [[score]]; prefer [[score]] where cross-engine exactness matters (libm exp
+    * may differ in the last ulp between engines). */
+  def logistic(fields: Seq[DedupeField], w0: Double): Column = {
+    val linear = fields.map(f =>
+      DedupeField.similarity(f, col(s"a_${f.name}"), col(s"b_${f.name}")) * lit(f.weight))
+      .reduceLeft(_ + _) + lit(w0)
+    lit(1.0) / (lit(1.0) + exp(-linear))
+  }
+
+  /** Score the entity map and keep pairs above `threshold` (reference messy
+    * threshold 0.5, resolution/main.py:48): (from, to, score). */
+  def selectPairs(entityMap: DataFrame, fields: Seq[DedupeField], threshold: Double): DataFrame =
+    entityMap
+      .withColumn("score", score(fields))
+      .filter(col("score") > threshold)
+      .select(col("a_node_id").as("from"), col("b_node_id").as("to"), col("score"))
+}
+
+/** E5 — connected components ("weak", undirected view of the scored pairs,
+  * messy.py:416-448). Iterative min-label propagation over the edge DataFrame:
+  *
+  *   label(v) <- min(label(v), min_{(u,v) ∈ E} label(u))   until fixpoint
+  *
+  * Scale design: the loop is all DataFrame joins (no driver-side graph, unlike the
+  * reference's igraph); every iteration is persisted and the previous one
+  * unpersisted, with `localCheckpoint` truncating lineage so plans do not grow
+  * exponentially; `maxIter` caps the loop at the graph's diameter bound. Converges
+  * in O(max component diameter) rounds — near-dup/ER clusters are star-like, so
+  * a handful in practice.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame (src, dst), any integral type
+    * @return (id, component) where component = min id reachable — deterministic. */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val e = {
+      val s = edges.toDF("src", "dst")
+      // undirected: symmetrize once
+      s.select(col("src"), col("dst"))
+        .union(s.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // candidate labels arriving over edges, merged with current labels
+      val messages = e.join(labels, e("src") === labels("id"))
+        .select(e("dst").as("id"), col("component"))
+      val next = labels.select("id", "component").union(messages)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true) // truncate lineage; one action per iteration
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist()
+    require(converged, s"connected components did not converge in $maxIter iterations")
+    labels
+  }
+
+  /** Reference output shape (messy.py:432-448): (messy_id, cluster_id) where
+    * cluster_id is the stable hash of the component (F13). `hashed=false` keeps
+    * the raw min-id component (deterministic across engines, oracle-friendly). */
+  def clusterMapping(edges: DataFrame, hashed: Boolean = false, maxIter: Int = 50): DataFrame = {
+    val comp = run(edges, maxIter)
+    val cid = if (hashed) graft.ops.Ids.clusterId(col("component")) else col("component")
+    comp.select(col("id").as("messy_id"), cid.as("cluster_id"))
+  }
+}
+
+/** E6 — gazetteer matching (CanonMatcher/Pairer, canon.py:90-231): match each
+  * messy record against an indexed canon table. Same block->pair->score skeleton
+  * as the dedupe path, but the pair universe is messy×canon within shared blocks,
+  * and the result keeps the best canon per messy (score desc, reference
+  * canon.py:194-201) above `threshold` (canon default 0.25, main.py:28). */
+object Gazetteer {
+
+  /** @param messyBlocks (block_key, messy_id); @param canonBlocks (block_key, canon_id)
+    * — build both with [[Blocking.blockTable]] using *the same* predicate set
+    * applied to each side's features (canon indexes, messy searches). */
+  def matchTables(
+      messyBlocks: DataFrame, canonBlocks: DataFrame,
+      messyFeatures: DataFrame, canonFeatures: DataFrame,
+      idCol: String, fields: Seq[DedupeField], threshold: Double): DataFrame = {
+    val candidates = messyBlocks
+      .join(canonBlocks.withColumnRenamed("messy_id", "canon_id"), Seq("block_key"))
+      .select("messy_id", "canon_id")
+      .distinct()
+    val a = messyFeatures.select(col(idCol).as("a_node_id") +: fields.map(f => col(f.name).as(s"a_${f.name}")): _*)
+    val b = canonFeatures.select(col(idCol).as("b_node_id") +: fields.map(f => col(f.name).as(s"b_${f.name}")): _*)
+    val scored = candidates
+      .join(a, candidates("messy_id") === a("a_node_id"))
+      .join(b, candidates("canon_id") === b("b_node_id"))
+      .withColumn("score", Scoring.score(fields))
+      .filter(col("score") > threshold)
+      .select(col("messy_id"), col("canon_id"), col("score"))
+    // best canon per messy; canon_id breaks score ties deterministically
+    graft.ops.DistinctOn.distinctOnOrdered(
+      scored, Seq(col("messy_id")), Seq(col("score").desc, col("canon_id").asc))
+  }
+}
+
+/** E7 — IDConvertor (convertor.py:105-115): rewrite `targetCol` through a
+  * (messy_id, new_id) mapping with COALESCE fallback, preserving all other
+  * columns (`t1.* EXCLUDE (target)`). The mapping is broadcast when small —
+  * Catalyst decides; at 100 TB the mapping (distinct entities) is orders of
+  * magnitude smaller than the fact table, so this stays a broadcast join. */
+object IdConvert {
+
+  def convert(df: DataFrame, mapping: DataFrame, targetCol: String): DataFrame = {
+    val m = mapping.select(col("messy_id").as("__mid"), col("new_id").as("__nid"))
+    val rest = df.columns.filterNot(_ == targetCol).map(col)
+    df.join(m, df(targetCol) === col("__mid"), "left")
+      .select(coalesce(col("__nid"), df(targetCol)).as(targetCol) +: rest: _*)
+  }
+}
+
+/** E8 — mapping combination (resolution/main.py:177-244): messy->canon matches
+  * take precedence alongside messy->cluster assignments; pure UNION ALL with
+  * renames, then the anti-join filter (main.py:161-174) removes already-mapped
+  * messy records from the cluster path. */
+object Mappings {
+
+  /** `mapper_{messy}_clean` = m2c renamed ∪ messy2cluster renamed. */
+  def combine(messy2canon: DataFrame, messy2cluster: DataFrame): DataFrame =
+    messy2canon.select(col("messy_id"), col("canon_id").as("new_id"))
+      .unionByName(messy2cluster.select(col("messy_id"), col("cluster_id").as("new_id")))
+
+  /** Messy records not already mapped (NOT EXISTS, main.py:161-174). */
+  def unmapped(messy: DataFrame, mapping: DataFrame, idCol: String): DataFrame =
+    messy.join(mapping, messy(idCol) === mapping("messy_id"), "left_anti")
+}
