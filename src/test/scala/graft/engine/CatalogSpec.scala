@@ -1,0 +1,77 @@
+package graft.engine
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Mirrors the reference's storage round-trip suite (tests/test_storage.py:21-53):
+  * upload/download equality incl. timestamp columns, JSON objects, snapshots. */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat() =
+    new Catalog(spark, Files.createTempDirectory("graft_cat").toString)
+
+  test("parquet round-trip preserves rows and schema incl. timestamp") {
+    val cat = freshCat()
+    val df = Seq(
+      (1L, "a", Timestamp.valueOf("2023-01-02 03:04:05")),
+      (2L, "b", Timestamp.valueOf("2024-11-30 23:59:59"))
+    ).toDF("id", "name", "ts")
+    cat.write(df, "t1")
+    val back = cat.read("t1")
+    assert(back.schema.map(f => (f.name, f.dataType)) === df.schema.map(f => (f.name, f.dataType)))
+    assert(TestSpark.rows(back) === TestSpark.rows(df))
+  }
+
+  test("exists / drop lifecycle") {
+    val cat = freshCat()
+    assert(!cat.exists("x"))
+    cat.write(Seq(1).toDF("v"), "x")
+    assert(cat.exists("x"))
+    cat.drop("x")
+    assert(!cat.exists("x"))
+  }
+
+  test("copy duplicates a dataset") {
+    val cat = freshCat()
+    cat.write(Seq(1, 2, 3).toDF("v"), "src")
+    cat.copy("src", "dst")
+    assert(TestSpark.rows(cat.read("dst")) === TestSpark.rows(cat.read("src")))
+  }
+
+  test("JSON object round-trip (reference storage.py:87-100)") {
+    val cat = freshCat()
+    val payload = """{"model":"v1","threshold":0.5}"""
+    cat.writeJson("model_cfg", payload)
+    assert(cat.readJson("model_cfg") === payload)
+  }
+
+  test("snapshot creates a readable cache that survives source overwrite") {
+    val cat = freshCat()
+    cat.write(Seq(1, 2).toDF("v"), "d")
+    cat.snapshot("d")
+    assert(cat.existsCache("d"))
+    cat.write(Seq(9).toDF("v"), "d") // new run overwrites the live dataset
+    assert(TestSpark.rows(cat.loadCache("d")) === Set(Seq(1), Seq(2)))
+    assert(TestSpark.rows(cat.read("d")) === Set(Seq(9)))
+  }
+
+  test("link reads an external dataset without copying; write stays internal") {
+    val cat = freshCat()
+    val extDir = Files.createTempDirectory("graft_ext").toString
+    Seq((1, "x")).toDF("id", "s").write.parquet(s"$extDir/ext.parquet")
+    cat.link("ext", s"$extDir/ext.parquet")
+    assert(cat.exists("ext"))
+    assert(TestSpark.rows(cat.read("ext")) === Set(Seq(1, "x")))
+    // overwriting a linked id must write to the catalog namespace, not the source
+    cat.write(Seq((2, "y")).toDF("id", "s"), "ext")
+    assert(TestSpark.rows(cat.read("ext")) === Set(Seq(2, "y")))
+    assert(TestSpark.rows(spark.read.parquet(s"$extDir/ext.parquet")) === Set(Seq(1, "x")))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.engine
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Mirrors the reference's executor/processor/etl suites
+  * (tests/test_executor.py:11-93, test_processor.py:17-113, test_etl.py:65-106):
+  * SQL nodes end-to-end, transform validation, DAG wiring, cycle detection,
+  * concurrent execution, incremental cache merge. */
+class EtlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat() =
+    new Catalog(spark, Files.createTempDirectory("graft_etl").toString)
+
+  test("SqlNode registers inputs and materializes one output per SQL (UNION shape of test_executor.py:26-32)") {
+    val cat = freshCat()
+    cat.write(Seq(1, 2).toDF("v"), "in1")
+    cat.write(Seq(2, 3).toDF("v"), "in2")
+    val node = new SqlNode("u", Seq("in1", "in2"),
+      Map("out" -> "SELECT v FROM in1 UNION SELECT v FROM in2"))
+    node.execute(cat)
+    assert(TestSpark.rows(cat.read("out")) === Set(Seq(1), Seq(2), Seq(3)))
+  }
+
+  test("SqlNode failure carries node name and SQL text (reference etl.py:218-232)") {
+    val cat = freshCat()
+    cat.write(Seq(1).toDF("v"), "in1")
+    val node = new SqlNode("bad_sql", Seq("in1"), Map("out" -> "SELECT nope FROM in1"))
+    val e = intercept[RuntimeException](node.execute(cat))
+    assert(e.getMessage.contains("bad_sql"))
+    assert(e.getMessage.contains("SELECT nope FROM in1"))
+  }
+
+  test("DfNode validates transform arity (reference etl.py:445-449)") {
+    val cat = freshCat()
+    cat.write(Seq(1).toDF("v"), "a")
+    val node = new DfNode("wrong_arity", Seq("a"), Seq("o1", "o2"),
+      fn = dfs => Seq(dfs.head))
+    val e = intercept[Exception](node.execute(cat))
+    assert(e.getMessage.contains("1 tables for 2 output ids"))
+  }
+
+  test("a node that does not materialize its declared outputs fails") {
+    val cat = freshCat()
+    cat.write(Seq(1).toDF("v"), "a")
+    val node = new DfNode("noop", Seq("a"), Seq("never_written"),
+      fn = dfs => dfs) { // write to the wrong id on purpose
+      override def run(c: Catalog): Unit = ()
+    }
+    val e = intercept[IllegalArgumentException](node.execute(cat))
+    assert(e.getMessage.contains("never_written"))
+  }
+
+  test("EtlGroup derives external inputs/outputs/intermediates from shared ids (test_etl.py:65-80)") {
+    val n1 = new SqlNode("n1", Seq("raw"), Map("mid" -> "SELECT * FROM raw"))
+    val n2 = new SqlNode("n2", Seq("mid"), Map("fin" -> "SELECT * FROM mid"))
+    val g = new EtlGroup("g", Seq(n1, n2))
+    assert(g.inputIds === Seq("raw"))
+    assert(g.outputIds === Seq("fin"))
+    assert(g.intermediateIds === Seq("mid"))
+  }
+
+  test("duplicate producers for one id are rejected") {
+    val n1 = new SqlNode("n1", Seq("raw"), Map("dup" -> "SELECT 1"))
+    val n2 = new SqlNode("n2", Seq("raw"), Map("dup" -> "SELECT 2"))
+    val e = intercept[IllegalArgumentException](new EtlGroup("g", Seq(n1, n2)))
+    assert(e.getMessage.contains("dup"))
+  }
+
+  test("dependency cycles are detected at construction (DAGVertexNotFound analogue)") {
+    val n1 = new SqlNode("n1", Seq("b"), Map("a" -> "SELECT * FROM b"))
+    val n2 = new SqlNode("n2", Seq("a"), Map("b" -> "SELECT * FROM a"))
+    val e = intercept[IllegalArgumentException](new EtlGroup("g", Seq(n1, n2)))
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("sequential and concurrent execution produce identical results") {
+    def pipeline(): Seq[EtlNode] = Seq(
+      new SqlNode("s1", Seq("base"), Map("t1" -> "SELECT v * 2 AS v FROM base")),
+      new SqlNode("s2", Seq("base"), Map("t2" -> "SELECT v + 1 AS v FROM base")),
+      new SqlNode("s3", Seq("t1", "t2"),
+        Map("merged" -> "SELECT v FROM t1 UNION ALL SELECT v FROM t2")))
+
+    val seqCat = freshCat()
+    seqCat.write(Seq(1, 2, 3).toDF("v"), "base")
+    new EtlGroup("gseq", pipeline()).execute(seqCat, maxActiveRun = 1)
+
+    val conCat = freshCat()
+    conCat.write(Seq(1, 2, 3).toDF("v"), "base")
+    new EtlGroup("gcon", pipeline()).execute(conCat, maxActiveRun = 4)
+
+    assert(cmp(seqCat.read("merged")) === cmp(conCat.read("merged")))
+    assert(cmp(conCat.read("merged")) === Seq(2, 2, 3, 4, 4, 6))
+  }
+  private def cmp(df: DataFrame): Seq[Int] = df.collect().map(_.getInt(0)).toSeq.sorted
+
+  test("an empty group completes immediately in concurrent mode (no latch hang)") {
+    val cat = freshCat()
+    val t0 = System.nanoTime()
+    new EtlGroup("empty", Seq.empty).execute(cat, maxActiveRun = 8)
+    assert((System.nanoTime() - t0) / 1e9 < 10.0)
+  }
+
+  test("a failing node aborts the group and surfaces the cause") {
+    val cat = freshCat()
+    cat.write(Seq(1).toDF("v"), "base")
+    val ok = new SqlNode("ok", Seq("base"), Map("fine" -> "SELECT * FROM base"))
+    val boom = new SqlNode("boom", Seq("base"), Map("broken" -> "SELECT no_such FROM base"))
+    val after = new SqlNode("after", Seq("broken"), Map("downstream" -> "SELECT * FROM broken"))
+    val e = intercept[RuntimeException](
+      new EtlGroup("g", Seq(ok, boom, after)).execute(cat, maxActiveRun = 2))
+    assert(e.getMessage.contains("boom"))
+    assert(!cat.exists("downstream"))
+  }
+
+  test("dropIntermediates GCs ids that are neither group inputs nor outputs (etl.py:288-314)") {
+    val cat = freshCat()
+    cat.write(Seq(1).toDF("v"), "raw")
+    val g = new EtlGroup("g", Seq(
+      new SqlNode("n1", Seq("raw"), Map("mid" -> "SELECT * FROM raw")),
+      new SqlNode("n2", Seq("mid"), Map("fin" -> "SELECT * FROM mid"))),
+      dropIntermediates = true)
+    g.execute(cat, maxActiveRun = 1)
+    assert(cat.exists("fin"))
+    assert(!cat.exists("mid"))
+  }
+
+  test("concurrency cap is respected") {
+    val cat = freshCat()
+    val active = new AtomicInteger(0)
+    val maxSeen = new AtomicInteger(0)
+    def probe(i: Int): EtlNode = new EtlNode {
+      override val name = s"p$i"
+      val inputIds = Seq.empty[String]
+      val outputIds = Seq(s"o$i")
+      def run(c: Catalog): Unit = {
+        val now = active.incrementAndGet()
+        maxSeen.updateAndGet(m => math.max(m, now))
+        Thread.sleep(150)
+        active.decrementAndGet()
+        c.write(spark.range(1).toDF("v"), s"o$i")
+      }
+    }
+    new EtlGroup("cap", (1 to 6).map(probe)).execute(cat, maxActiveRun = 2)
+    assert(maxSeen.get() <= 2)
+    assert((1 to 6).forall(i => cat.exists(s"o$i")))
+  }
+
+  test("doCache snapshots inputs and outputs after a successful run; next run can merge (crawl.py:117-153 pattern)") {
+    val cat = freshCat()
+    cat.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), "src")
+    val node = new SqlNode("cached", Seq("src"), Map("res" -> "SELECT * FROM src"), doCache = true)
+    node.execute(cat)
+    assert(cat.existsCache("src") && cat.existsCache("res"))
+
+    // incremental merge: new run sees new src rows, merges cache keep-first
+    cat.write(Seq((2, "B2"), (3, "c")).toDF("id", "s"), "src")
+    val merged = graft.ops.DistinctOn.distinctOn(
+      cat.read("src").unionByName(cat.loadCache("res")), Seq("id"))
+    assert(merged.count() === 3) // ids 1 (cache), 2 (kept once), 3 (new)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.er
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-style check of the iterative min-label propagation against a
+  * brute-force union-find, on fixed shapes + seeded random graphs
+  * (SURVEY §5.2's CC-vs-brute-force requirement). */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Brute-force union-find; components labeled by min member id. */
+  private def bruteForce(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def sparkCC(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two disjoint triangles") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    assert(sparkCC(edges) === bruteForce(edges))
+  }
+
+  test("a long chain (worst-case diameter for label propagation)") {
+    val edges = (1L until 20L).map(i => (i, i + 1))
+    val cc = sparkCC(edges)
+    assert(cc === bruteForce(edges))
+    assert(cc.values.toSet === Set(1L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L))
+    val cc = sparkCC(edges)
+    assert(cc === bruteForce(edges))
+  }
+
+  test("seeded random graphs match brute force") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(18)
+      val m = 4 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(sparkCC(edges) === bruteForce(edges), s"trial $trial failed: $edges")
+    }
+  }
+
+  test("clusterMapping hashed=false emits min-id cluster ids; hashed=true stable hashes") {
+    val edges = Seq((7L, 3L), (3L, 9L), (20L, 21L)).toDF("from", "to")
+    val plain = ConnectedComponents.clusterMapping(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain === Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    val hashed = ConnectedComponents.clusterMapping(edges, hashed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed.keySet === plain.keySet)
+    assert(hashed(3L) === hashed(7L) && hashed(7L) === hashed(9L))
+    assert(hashed(20L) === hashed(21L))
+    assert(hashed(3L) !== hashed(20L))
+  }
+}
