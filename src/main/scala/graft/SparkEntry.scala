@@ -13,7 +13,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracleSql),
-      (_root_.graft.queries.ErQueries.queries, _root_.graft.queries.ErQueries.oracleSql)
+      (_root_.graft.queries.ErQueries.queries, _root_.graft.queries.ErQueries.oracleSql),
+      (_root_.graft.queries.LlmQueries.queries, _root_.graft.queries.LlmQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators, designed for the 100 TB case: every
+  * pairwise step is bucket/block-bounded (LSH bands, sign buckets, token
+  * blocks) — there is no O(n²) cross join anywhere. Hashing uses MD5 (a fixed
+  * public digest available in every engine), so signatures are reproducible
+  * cross-engine — unlike engine-native hash() whose bit patterns differ
+  * (SURVEY §7.4).
+  */
+object Dedup {
+
+  /** Exact dedup: hash-group on the text, keep the min id as canonical
+    * representative. One shuffle on the digest; at scale this is the plain
+    * map-side-combinable group-by. Output: (digest, keep_id, dup_cnt). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct character k-gram shingles: (id, sh). Documents shorter than k
+    * produce no shingles (mirrors the reference's empty-array guard style). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol), col(textCol), explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"))
+      .select(col(idCol), expr(s"substring($textCol, i, $k)").as("sh"))
+      .distinct()
+
+  /** MinHash signature, `numHashes` permutations simulated as min(md5(j:sh)):
+    * the classic "min of a random permutation" with the permutation keyed by a
+    * salt prefix. Output: (id, h0..h{numHashes-1}). */
+  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
+    shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * consecutive hashes; band value = concatenation. Output: (id, band, bv). */
+  def lshBands(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val bv = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), bv.as("bv"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("x"))
+      .select(col(idCol), col("x.band").as("band"), col("x.bv").as("bv"))
+  }
+
+  /** Candidate pairs: docs agreeing on any full band — an equi-join on
+    * (band, bv), never a cross join. Cost is Σ_bucket |bucket|². */
+  def lshCandidates(bandTable: DataFrame, idCol: String): DataFrame = {
+    val l = bandTable.select(col("band"), col("bv"), col(idCol).as("a"))
+    val r = bandTable.select(col("band"), col("bv"), col(idCol).as("b"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Verify candidates with the true shingle Jaccard (LSH recalls candidates;
+    * the verify pass removes false positives). Each doc's shingle set rides as
+    * one array, so per-candidate cost is O(|set_a| + |set_b|) in a single row —
+    * NOT an exploded join (candidates × shingles would be 10⁸ intermediate rows
+    * at sf0.1 and worse at scale). */
+  def verifiedJaccard(cand: DataFrame, shingleTable: DataFrame, idCol: String): DataFrame = {
+    val sets = shingleTable.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sets.select(col(idCol).as("a"), col("shs").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("shs").as("sb")), "b")
+      .select(col("a"), col("b"),
+        (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter).cast("double")).as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join →
+    * verify ≥ `threshold`. */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 5, numHashes: Int = 8, bands: Int = 4,
+                      threshold: Double = 0.9): DataFrame = {
+    val sh = shingles(df, textCol, idCol, k)
+    val sig = minhashSignatures(sh, idCol, numHashes)
+    val cand = lshCandidates(lshBands(sig, idCol, bands, numHashes / bands), idCol)
+    verifiedJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over whitespace tokens: per bit, majority vote of the
+    * token-hash bits (nibbles of md5 hex). Fingerprints with small hamming
+    * distance ⇒ similar token distributions. Output: (id, simhash). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val bits = toks
+      .select(col(idCol), col("w"), explode(sequence(lit(0), lit(15))).as("bit"))
+      .withColumn("nibble",
+        expr("instr('0123456789abcdef', substring(md5(w), 1 + (bit div 4), 1)) - 1"))
+      .withColumn("one", expr("shiftright(nibble, 3 - (bit % 4)) & 1"))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("one")).as("ones"), count(lit(1)).as("n"))
+    bits.groupBy(col(idCol))
+      .agg(sum(expr("CASE WHEN 2*ones > n THEN shiftleft(1, bit) ELSE 0 END")).cast("long").as("simhash"))
+  }
+
+  /** Blocked n-gram (distinct-token) Jaccard near-dup: candidate pairs are
+    * generated only within a block (caller-supplied key, e.g. language +
+    * length bucket — near-dups rarely differ much in either), then token-set
+    * Jaccard-verified via array intersection. The classic "block, don't
+    * cross-join" shape; block granularity bounds the quadratic term. */
+  def tokenJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockKey: Column, threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol), blockKey.as("blk"),
+      array_distinct(split(col(textCol), " ")).as("tw"))
+    val l = docs.select(col("blk"), col(idCol).as("a"), col("tw").as("ta"))
+    val r = docs.select(col("blk"), col(idCol).as("b"), col("tw").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    l.join(r, Seq("blk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (inter.cast("double") / (size(col("ta")) + size(col("tb")) - inter).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Determinism design: embeddings are quantized to integer milliunits
+  * (round(x*1000)) so dot products are exact integer arithmetic —
+  * order-independent and bit-identical in any engine (float summation order
+  * would differ between Spark partitions and a DuckDB oracle). Cosine then
+  * divides by integer-derived norms via IEEE sqrt (correctly rounded —
+  * deterministic cross-engine).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * scans the corpus once — the right plan when queries ≪ corpus. The LSH path
+  * buckets by hyperplane sign bits so candidate generation is an equi-join on
+  * the bucket key; at 1000 executors both paths shuffle only the top-k rows.
+  */
+object Similarity {
+
+  /** Quantize `array<float>` to `array<bigint>` milliunits. */
+  def quantize(c: Column): Column =
+    expr(s"transform(${c.toString}, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+  /** Deterministic cosine from quantized vectors. */
+  def qcosine(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") / (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
+  /** Sign-bucket key from the first `planes` dimensions — a deterministic
+    * random-hyperplane LSH (the axis planes stand in for sampled hyperplanes;
+    * swap in stored hyperplanes for production recall). */
+  def signBucket(c: Column, planes: Int): Column =
+    expr(s"aggregate(transform(slice(${c.toString}, 1, $planes), " +
+      s"(x, i) -> shiftleft(CAST(CAST(x AS DOUBLE) >= 0.0 AS BIGINT), i)), 0L, (acc, v) -> acc + v)")
+
+  /** Brute-force cosine top-k: each query row against the whole corpus.
+    * `queries` must be small (it is broadcast); ranking ties break on id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("match_id"), quantize(col(embCol)).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"), qcosine(col("qv"), col("cv")).as("cos"))
+    graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("match_id").asc), k)
+  }
+
+  /** LSH-bucketed top-k: queries only compare against corpus vectors in the
+    * same sign bucket — the 100 TB path (equi-join on bucket, no full scan per
+    * query). Recall < 1 by construction; verify/multiprobe as needed. */
+  def bucketTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 embCol: String, planes: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"),
+      signBucket(col(embCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("match_id"), quantize(col(embCol)).as("cv"),
+      signBucket(col(embCol), planes).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"), qcosine(col("qv"), col("cv")).as("cos"))
+    graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("match_id").asc), k)
+  }
+
+  /** Embedding near-dup pairs: within-bucket candidate pairs with cosine above
+    * `threshold` (the embedding flavor of LSH dedup). */
+  def nearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                   planes: Int, threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol), quantize(col(embCol)).as("qv"),
+      signBucket(col(embCol), planes).as("bucket"))
+    val l = v.select(col("bucket"), col(idCol).as("a"), col("qv").as("av"))
+    val r = v.select(col("bucket"), col(idCol).as("b"), col("qv").as("bv"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), qcosine(col("av"), col("bv")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

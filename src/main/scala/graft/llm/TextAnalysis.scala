@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * All pure codegen'd column expressions — per-row work scales linearly and
+  * pushes through whole-stage codegen; no UDFs, no driver-side loops.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(split(c, " "))
+
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * non-alphanumeric marks — the standard pre-tokenizer regex family
+    * (portable RE2/Java subset). */
+  val bpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokenCount(c: Column): Column =
+    size(expr(s"regexp_extract_all(${c.toString}, '$bpeTokenRegex', 0)"))
+
+  /** Stopword hits among whitespace tokens. */
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column = {
+    val set = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    size(expr(s"filter(split(${c.toString}, ' '), x -> x IN $set)"))
+  }
+
+  private val defaultStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Heuristic quality score in [0,1]: binary-fraction-weighted mix of
+    *  - length score      (chars capped at 500)           weight 0.5
+    *  - mean-word-length score (target ≈ 5 chars, capped) weight 0.25
+    *  - stopword-ratio score (capped at 4× ratio)         weight 0.25
+    * Exact-representable weights keep the arithmetic bit-reproducible in any
+    * IEEE engine (same rule as ER scoring). */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val nToks = tokenCount(c).cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val meanWord = nChars / nToks
+    val wordScore = least(meanWord / lit(5.0), lit(1.0))
+    val stopScore = least(stopwordCount(c, defaultStopwords).cast("double") / nToks * lit(4.0), lit(1.0))
+    lenScore * lit(0.5) + wordScore * lit(0.25) + stopScore * lit(0.25)
+  }
+
+  /** Language-ID by stopword-list hits: score each candidate language by the
+    * fraction of tokens in its function-word list, pick the argmax
+    * (ties break on language code). The n-gram-free variant of the classic
+    * heuristic — O(rows × langs) with no shuffle until the final argmax. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "he"))
+
+  /** Output: (id cols) + pred_lang + lang_score. Argmax via greatest() over
+    * (score, lang) structs — score ties deterministically pick the MAX lang
+    * code (struct comparison order), no shuffle at all. */
+  def langId(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val scored = langProfiles.map { case (lang, words) =>
+      struct(
+        (stopwordCount(col(textCol), words).cast("double") /
+          tokenCount(col(textCol)).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    df.select(idCols.map(col) :+ best.getField("lang").as("pred_lang")
+      :+ best.getField("score").as("lang_score"): _*)
+  }
+
+  /** Document fingerprint: min MD5 over character 8-grams — a deterministic
+    * rolling-hash content fingerprint (winnowing with window = whole doc).
+    * Equal fingerprints ⇒ shared rare substring; cheap first-pass clustering. */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Dedup.shingles(df, textCol, idCol, 8)
+      .groupBy(col(idCol))
+      .agg(min(md5(col("sh"))).as("fingerprint"))
+}

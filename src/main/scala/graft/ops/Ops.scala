@@ -21,9 +21,14 @@ object DistinctOn {
 
   /** Best row per key by explicit ordering (A3). One shuffle on the keys; ties must
     * be broken by the caller's ordering for deterministic output. */
-  def distinctOnOrdered(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+  def distinctOnOrdered(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    topK(df, keys, order, 1)
+
+  /** Top-k rows per key by explicit ordering — the rank generalization of
+    * [[distinctOnOrdered]]. One shuffle on the keys. */
+  def topK(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 }
 

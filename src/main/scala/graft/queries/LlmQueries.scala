@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Large-scale training-data pipeline queries (dedup, similarity search,
+  * text analysis, multimodal plumbing) over `documents` / `embeddings`.
+  *
+  * Cross-engine determinism: content hashing uses MD5 (identical in Spark and
+  * DuckDB), similarity arithmetic is integer-quantized (order-independent) with
+  * IEEE sqrt/divide (correctly rounded ⇒ bit-identical), and all ratio scores
+  * are single divisions of exact integers.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared oracle fragments ----
+
+  private val sqlShingles5 =
+    """SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+      |FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i) gs
+      |WHERE length(text) >= 5""".stripMargin
+
+  private val sqlSig8 =
+    """SELECT doc_id,
+      |  min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+      |  min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
+      |  min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
+      |  min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+      |FROM shingles GROUP BY doc_id""".stripMargin
+
+  private val sqlBands =
+    """SELECT doc_id, 0 AS band, h0||h1 AS bv FROM sig UNION ALL
+      |SELECT doc_id, 1 AS band, h2||h3 AS bv FROM sig UNION ALL
+      |SELECT doc_id, 2 AS band, h4||h5 AS bv FROM sig UNION ALL
+      |SELECT doc_id, 3 AS band, h6||h7 AS bv FROM sig""".stripMargin
+
+  private val sqlCand =
+    """SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id""".stripMargin
+
+  private val sqlQuantize =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+
+  private def sqlQdot(a: String, b: String) =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS DOUBLE)"
+
+  private def sqlQcos(a: String, b: String) =
+    s"${sqlQdot(a, b)} / (sqrt(${sqlQdot(a, a)}) * sqrt(${sqlQdot(b, b)}))"
+
+  private val sqlBucket =
+    """CAST(list_sum(list_transform(generate_series(1, 8),
+      |  i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0 THEN 1 << (i-1) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private val stopSql = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+  // ---- queries ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-group, min-id representative
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+
+    // MinHash + LSH banding + bucket join + true-Jaccard verify (>= 0.9)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, numHashes = 8, bands = 4, threshold = 0.9)),
+
+    // 16-bit SimHash fingerprints (majority vote of token-hash bits)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")),
+
+    // blocked distinct-token Jaccard (block = lang + length bucket)
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.tokenJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        blockKey = concat_ws(":", col("lang"), expr("size(split(text, ' ')) div 20")),
+        threshold = 0.95)),
+
+    // embedding near-dup: sign-bucket LSH + quantized cosine >= 0.25
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        planes = 8, threshold = 0.25)),
+
+    // brute-force cosine top-5 for the first 10 query vectors
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+
+    // LSH-bucketed top-5 (the scale path; same queries, bucket-bounded)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bucketTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        planes = 8, k = 5)
+    }),
+
+    // token counting: whitespace + BPE-ish regex subword count
+    "q_text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
+
+    // quality scoring (length / word-shape / stopword-ratio mix)
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // language-ID heuristic (stopword-profile argmax)
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "text", Seq("doc_id"))),
+
+    // document fingerprint (min MD5 over char 8-grams)
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "text", "doc_id")),
+
+    // multimodal plumbing: binary payload -> distributed (stub) decode -> meta
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractMeta(media).toDF()
+        .select(col("id"), col("n_bytes").cast("long").as("n_bytes"), col("digest"),
+          col("checksum"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1",
+
+    "q_dedup_minhash" ->
+      s"""WITH shingles AS ($sqlShingles5),
+         |sig AS ($sqlSig8),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |sets AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS i
+         |  FROM cand c JOIN shingles sa ON c.a = sa.doc_id
+         |  JOIN shingles sb ON c.b = sb.doc_id AND sa.sh = sb.sh
+         |  GROUP BY c.a, c.b)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT i.a, i.b,
+         |    CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+         |  FROM inter i JOIN sets na ON i.a = na.doc_id JOIN sets nb ON i.b = nb.doc_id) j
+         |WHERE jaccard >= 0.9""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1 + b.bit // 4, 1)) - 1)
+        |                   >> (3 - (b.bit % 4))) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+        |    count(*) AS n
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(0, 15)) AS bit) b
+        |  GROUP BY doc_id, b.bit)
+        |SELECT doc_id, CAST(sum(CASE WHEN 2*ones > n THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang || ':' || CAST(len(string_split(text, ' ')) // 20 AS VARCHAR) AS blk,
+        |    list_distinct(string_split(text, ' ')) AS tw
+        |  FROM documents)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT l.doc_id AS a, r.doc_id AS b,
+        |    CAST(len(list_filter(l.tw, x -> list_contains(r.tw, x))) AS DOUBLE)
+        |      / CAST(len(l.tw) + len(r.tw) - len(list_filter(l.tw, x -> list_contains(r.tw, x))) AS DOUBLE) AS jaccard
+        |  FROM docs l JOIN docs r ON l.blk = r.blk AND l.doc_id < r.doc_id) p
+        |WHERE jaccard >= 0.95""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv, $sqlBucket AS bucket FROM embeddings)
+         |SELECT a, b, cos FROM (
+         |  SELECT l.vec_id AS a, r.vec_id AS b, ${sqlQcos("l.qv", "r.qv")} AS cos
+         |  FROM v l JOIN v r ON l.bucket = r.bucket AND l.vec_id < r.vec_id) p
+         |WHERE cos >= 0.25""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) s
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv, $sqlBucket AS bucket FROM embeddings)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
+         |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |  + least((CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 5.0, 1.0) * 0.25
+         |  + least(CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS DOUBLE)
+         |          / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0) * 0.25 AS quality
+         |FROM documents""".stripMargin,
+
+    "q_text_langid" -> {
+      val profiles = TextAnalysis.langProfiles.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"""SELECT doc_id, '$lang' AS lang,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x IN $set)) AS DOUBLE)
+           |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS ($profiles)
+         |SELECT doc_id, lang AS pred_lang, score AS lang_score FROM (
+         |  SELECT doc_id, lang, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+         |  FROM s) r WHERE rn = 1""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, min(md5(sh)) AS fingerprint FROM (
+        |  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-7)) AS i) gs
+        |  WHERE length(text) >= 8) s
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT id, n_bytes, digest, checksum,
+        |  64 + (checksum % 576) AS width, 64 + (n_bytes % 416) AS height
+        |FROM (
+        |  SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS digest,
+        |    CAST(list_sum(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))) % 997 AS BIGINT) AS checksum
+        |  FROM documents) m""".stripMargin
+  )
+}

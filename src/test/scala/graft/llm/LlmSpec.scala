@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank todaz"), // 1-char near-dup of 1
+    (3L, "completely different content about spark engines and distributed joins"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val out = Dedup.exact(corpus, "text", "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L), (2L, 1L), (3L, 1L))) // (keep_id, dup_cnt)
+  }
+
+  test("minhash LSH finds the near-duplicate pair and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      k = 5, numHashes = 8, bands = 4, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // near-dup recalled and verified
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L))) // exact dup too
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc excluded
+  }
+
+  test("verified jaccard is exact set arithmetic") {
+    val sh = Dedup.shingles(corpus, "text", "doc_id", 5)
+    val cand = Seq((1L, 4L)).toDF("a", "b")
+    val j = Dedup.verifiedJaccard(cand, sh, "doc_id").select("jaccard").as[Double].head()
+    assert(j === 1.0) // identical texts -> identical shingle sets
+  }
+
+  test("simhash: identical texts hash identically; near-dups land within small hamming distance") {
+    val hs = Dedup.simhash(corpus, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(4L))
+    val hamming = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+    assert(hamming <= 4, s"near-dup hamming $hamming")
+  }
+
+  test("blocked token jaccard finds near-dups inside blocks only") {
+    val out = Dedup.tokenJaccardPairs(corpus, "text", "doc_id",
+      blockKey = expr("size(split(text, ' ')) div 20"), threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 4L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))  // opposite to 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy(desc("cos")).select("match_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 2L, 3L)) // similar, orthogonal, opposite
+  }
+
+  test("sign-bucket LSH co-buckets aligned vectors and separates opposites") {
+    val b = vecs.select(col("vec_id"), Similarity.signBucket(col("embedding"), 3).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L) !== b(3L))
+  }
+
+  test("quality score is bounded and orders richer docs higher") {
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog is in the house of the man"),
+      (2L, "x")
+    ).toDF("doc_id", "text")
+    val q = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+
+  test("langId picks the profile with the most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "le chat est dans la maison et le chien")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "text", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "fr")
+  }
+
+  test("multimodal stub decode extracts deterministic metadata distributed") {
+    val media = Multimodal.asMedia(corpus, "doc_id", "text")
+    val meta = Multimodal.extractMeta(media).collect().map(m => m.id -> m).toMap
+    assert(meta(1L).digest === meta(4L).digest) // same payload -> same digest
+    assert(meta(1L).digest !== meta(3L).digest)
+    assert(meta(1L).n_bytes === corpus.filter(col("doc_id") === 1).select(length(col("text"))).as[Int].head())
+    assert(meta(1L).width >= 64 && meta(1L).height >= 64)
+  }
+}
