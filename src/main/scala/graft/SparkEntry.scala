@@ -14,7 +14,9 @@ object SparkEntry {
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracleSql),
       (_root_.graft.queries.ErQueries.queries, _root_.graft.queries.ErQueries.oracleSql),
-      (_root_.graft.queries.LlmQueries.queries, _root_.graft.queries.LlmQueries.oracleSql)
+      (_root_.graft.queries.LlmQueries.queries, _root_.graft.queries.LlmQueries.oracleSql),
+      (_root_.graft.queries.GraphQueries.queries, _root_.graft.queries.GraphQueries.oracleSql),
+      (_root_.graft.queries.MiscQueries.queries, _root_.graft.queries.MiscQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

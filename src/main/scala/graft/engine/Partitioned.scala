@@ -26,9 +26,12 @@ object Partitioned {
     df.withColumn("row_id", row_number().over(Window.orderBy(orderCol)))
       .withColumn("partition", pmod(col("row_id"), lit(n)))
 
-  /** Scale-correct partition key: hash-mod, no global sort, fully parallel. */
-  def partitionKeyByHash(df: DataFrame, keyCol: Column, n: Int): DataFrame =
-    df.withColumn("partition", pmod(xxhash64(keyCol), lit(n)))
+  /** Scale-correct partition key: hash-mod, no global sort, fully parallel.
+    * `hashFn` defaults to xxhash64; pass [[graft.ops.PortableHash]] output when
+    * the partition values must be reproducible outside Spark. */
+  def partitionKeyByHash(df: DataFrame, keyCol: Column, n: Int,
+                         hashFn: Column => Column = xxhash64(_)): DataFrame =
+    df.withColumn("partition", pmod(hashFn(keyCol), lit(n)))
 
   /** Reference `MapReduce(map, parallel_count, tmp_fs)` (parallize.py:17-101):
     * partition -> map each partition -> merge. In Spark: one repartition, the

@@ -52,6 +52,40 @@ object Ids {
   def clusterId(c: Column): Column = xxhash64(concat(lit("cluster*id*v1*"), c.cast("string")))
 }
 
+/** Cross-engine-reproducible hash: MD5 is bit-identical in every engine, so a
+  * partition/bucket derived from it can be oracle-verified value-for-value —
+  * unlike xxhash64 (Spark) vs hash() (DuckDB), whose bit patterns differ
+  * (SURVEY §7.4). Production partitioning uses [[Ids.hash64]]; this exists for
+  * verifiable hashing and cross-system handoffs. */
+object PortableHash {
+
+  /** First 16 bits of md5(expr) as an int in [0, 65536): four hex nibbles
+    * decoded by position arithmetic (expressible identically in any SQL). */
+  def md5Bits16(sqlExpr: String): Column = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substring(md5($sqlExpr), $i, 1)) - 1)"
+    expr(s"${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}")
+  }
+
+  /** Hash-mod bucket in [0, n). */
+  def md5Mod(sqlExpr: String, n: Int): Column = pmod(md5Bits16(sqlExpr), lit(n))
+}
+
+/** Incremental batch merge (the reference's cache-merge pattern,
+  * crawl.py:117-153 / canon.py:159-166): concat the preferred table first,
+  * then keep-first per key — pure batch, no streaming state (SURVEY §2.11). */
+object Incremental {
+
+  /** Rows of `first` win on key collision; `second` fills the rest. Inputs
+    * must be key-unique for deterministic output (as in the reference, where
+    * both sides are already deduped snapshots). */
+  def mergeKeepFirst(first: DataFrame, second: DataFrame, keys: Seq[String]): DataFrame = {
+    val tagged = first.withColumn("__src", lit(0))
+      .unionByName(second.withColumn("__src", lit(1)))
+    DistinctOn.distinctOnOrdered(tagged, keys.map(col), Seq(col("__src").asc))
+      .drop("__src")
+  }
+}
+
 /** JSON flatten/explode helpers over a JSON-string column.
   *
   * The reference keeps nested records as JSON strings (`latest`, crawl.py:54) and

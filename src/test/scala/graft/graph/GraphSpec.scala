@@ -1,0 +1,93 @@
+package graft.graph
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sink.RedisGraphCsv
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val meta = MetaGraph(
+    subgraphs = Map(
+      "has_requirement" -> (("package", "requirement")),
+      "has_license" -> (("package", "license"))),
+    nodeGrouping = Map("package" -> Seq("package", "requirement")),
+    linkGrouping = Map.empty,
+    inputIds = Seq("latest"),
+    nodeSqls = Map(
+      "package" -> "SELECT md5(name) AS node_id, name FROM latest",
+      "requirement" -> "SELECT md5(req) AS node_id, req AS name FROM latest",
+      "license" -> "SELECT md5(license) AS node_id, license FROM latest"),
+    linkSqls = Map(
+      "has_requirement" -> "SELECT md5(name) AS from_id, md5(req) AS to_id FROM latest",
+      "has_license" -> "SELECT md5(name) AS from_id, md5(license) AS to_id FROM latest"))
+
+  test("MetaGraph derives nodes/links and completes singleton groupings (metagraph.py)") {
+    assert(meta.nodes === Seq("license", "package", "requirement"))
+    assert(meta.links === Seq("has_license", "has_requirement"))
+    assert(meta.fullNodeGrouping("license") === Seq("license"))
+    assert(meta.fullLinkGrouping("has_license") === Seq("has_license"))
+  }
+
+  test("MetaGraph.triplets maps links to grouped endpoints (metagraph.py triplets)") {
+    assert(meta.triplets("has_requirement") === (("package", "package")))
+    assert(meta.triplets("has_license") === (("package", "license")))
+  }
+
+  test("MetaGraph rejects groupings/sqls that reference undefined items") {
+    intercept[IllegalArgumentException] {
+      meta.copy(nodeGrouping = Map("x" -> Seq("nope")))
+    }
+    intercept[IllegalArgumentException] {
+      meta.copy(nodeSqls = meta.nodeSqls - "license")
+    }
+  }
+
+  test("Grouping builder emits pop-union + N-way left join (group/meta.py:10-38)") {
+    val sql = Grouping.nodeJoinSql("t0.node_id, t1.a, t2.b", Seq("n1", "n2"))
+    assert(sql.contains("SELECT DISTINCT node_id"))
+    assert(sql.contains("LEFT JOIN n1 AS t1 ON t0.node_id = t1.node_id"))
+    assert(sql.contains("LEFT JOIN n2 AS t2 ON t0.node_id = t2.node_id"))
+    // and it actually runs
+    Seq(("a", 1)).toDF("node_id", "a").createOrReplaceTempView("n1")
+    Seq(("b", 2)).toDF("node_id", "b").createOrReplaceTempView("n2")
+    val out = spark.sql(Grouping.nodeJoinSql("t0.node_id, t1.a, t2.b", Seq("n1", "n2")))
+    assert(TestSpark.rows(out) === Set(Seq("a", 1, null), Seq("b", null, 2)))
+  }
+
+  test("Validate.violations finds dangling link endpoints (validate.py:33-43)") {
+    val nodes = Seq(1L, 2L).toDF("node_id")
+    val links = Seq((1L, 2L), (1L, 99L)).toDF("from_id", "to_id")
+    assert(Validate.violations(links, nodes, "to_id").as[Long].collect().toSeq === Seq(99L))
+    assert(Validate.violations(links, nodes, "from_id").count() === 0)
+  }
+
+  test("RedisGraph node CSV: typed headers, quote-nonnumeric, backslash escapes (redisgraph.py:36-50)") {
+    val nodes = Seq(
+      (11L, "plain", 1.5),
+      (12L, "has \"quote\" and \\slash", 2.0)
+    ).toDF("node_id", "name", "score")
+    val dir = Files.createTempDirectory("rg").toString + "/node_pkg"
+    RedisGraphCsv.writeNodes(nodes, "pkg", dir)
+    val part = Files.list(Paths.get(dir)).toArray.map(_.toString).filter(_.endsWith(".txt")).head
+    val lines = Files.readAllLines(Paths.get(part)).toArray.map(_.toString).toSeq
+    assert(lines.head === "\":ID(pkg)\",\"name:STRING\",\"score:FLOAT\"")
+    assert(lines.contains("11,\"plain\",1.5"))
+    assert(lines.contains("12,\"has \\\"quote\\\" and \\\\slash\",2.0"))
+  }
+
+  test("RedisGraph link CSV: START/END typed headers (redisgraph.py:74-94)") {
+    val links = Seq((1L, 2L, "dep")).toDF("from_id", "to_id", "kind")
+    val dir = Files.createTempDirectory("rg").toString + "/link_req"
+    RedisGraphCsv.writeLinks(links, "pkg", "req", dir)
+    val part = Files.list(Paths.get(dir)).toArray.map(_.toString).filter(_.endsWith(".txt")).head
+    val lines = Files.readAllLines(Paths.get(part)).toArray.map(_.toString).toSeq
+    assert(lines.head === "\":START_ID(pkg)\",\":END_ID(req)\",\"kind:STRING\"")
+    assert(lines(1) === "1,2,\"dep\"")
+  }
+}
