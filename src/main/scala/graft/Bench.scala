@@ -39,8 +39,10 @@ object Bench {
 
     // warm-up: run everything once, un-timed
     queries.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try consume(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench][warmup] $name failed: ${e.getMessage}") }
+      System.err.println(f"[bench][warmup] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
     val results = queries.map { case (name, fn) =>
@@ -52,6 +54,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+      System.err.println(f"[bench] $name $sec%.2fs")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

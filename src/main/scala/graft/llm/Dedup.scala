@@ -20,9 +20,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Distinct character k-gram shingles: (id, sh). Documents shorter than k
-    * produce no shingles (mirrors the reference's empty-array guard style). */
+    * produce no shingles (mirrors the reference's empty-array guard style).
+    * The input is repartitioned by id first: a document table is often a
+    * handful of parquet splits, and without the spread the ~100× explode and
+    * the per-shingle hashing downstream would grind in those few tasks. */
   def shingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     df.filter(length(col(textCol)) >= k)
+      .repartition(col(idCol))
       .select(col(idCol), col(textCol), explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"))
       .select(col(idCol), expr(s"substring($textCol, i, $k)").as("sh"))
       .distinct()
@@ -48,14 +52,44 @@ object Dedup {
   }
 
   /** Candidate pairs: docs agreeing on any full band — an equi-join on
-    * (band, bv), never a cross join. Cost is Σ_bucket |bucket|². */
-  def lshCandidates(bandTable: DataFrame, idCol: String): DataFrame = {
-    val l = bandTable.select(col("band"), col("bv"), col(idCol).as("a"))
-    val r = bandTable.select(col("band"), col("bv"), col(idCol).as("b"))
+    * (band, bv), never a cross join. Cost is Σ_bucket |bucket|²; a hot bucket
+    * (stop-shingle band value) is quadratic in that bucket, so `maxBucketSize`
+    * can drop oversized buckets, the same defense as ER blocking's
+    * maxBlockSize — near-dup *clusters* that big are recalled anyway through
+    * their other, more selective bands. */
+  def lshCandidates(bandTable: DataFrame, idCol: String, maxBucketSize: Int = 0): DataFrame = {
+    val b =
+      if (maxBucketSize <= 0) bandTable
+      else {
+        val ok = bandTable.groupBy("band", "bv").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize).drop("__n")
+        bandTable.join(ok, Seq("band", "bv"), "left_semi")
+      }
+    val l = b.select(col("band"), col("bv"), col(idCol).as("a"))
+    val r = b.select(col("band"), col("bv"), col(idCol).as("b"))
     l.join(r, Seq("band", "bv"))
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
+  }
+
+  /** Prune candidates by the MinHash Jaccard *estimate* (fraction of agreeing
+    * signature positions ≥ `minMatches`). The signature is a fixed few hundred
+    * bytes, so this join broadcasts and the O(candidates) work touches no
+    * shingle data — the cascade step that makes exact verification affordable
+    * when the corpus is near-dup-dense (candidate sets can be 100-1000× larger
+    * than the true near-dup set). */
+  def estimateFilter(cand: DataFrame, sig: DataFrame, idCol: String,
+                     numHashes: Int, minMatches: Int): DataFrame = {
+    val hs = (0 until numHashes).map(j => s"h$j")
+    val sa = sig.select(col(idCol).as("a") +: hs.map(h => col(h).as(s"a_$h")): _*)
+    val sb = sig.select(col(idCol).as("b") +: hs.map(h => col(h).as(s"b_$h")): _*)
+    val matches = hs.map(h => (col(s"a_$h") === col(s"b_$h")).cast("int"))
+      .reduceLeft(_ + _)
+    cand.join(broadcast(sa), "a").join(broadcast(sb), "b")
+      .withColumn("__m", matches)
+      .filter(col("__m") >= minMatches)
+      .select("a", "b")
   }
 
   /** Verify candidates with the true shingle Jaccard (LSH recalls candidates;
@@ -73,22 +107,31 @@ object Dedup {
         (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter).cast("double")).as("jaccard"))
   }
 
-  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join →
-    * verify ≥ `threshold`. */
+  /** Full MinHash+LSH near-dup pipeline:
+    * shingle → sign → band → bucket-join → estimate-prune → exact verify.
+    * `minEstMatches` is the signature-agreement prefilter (default ~threshold
+    * minus slack for estimator variance); exact Jaccard ≥ `threshold` decides. */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 5, numHashes: Int = 8, bands: Int = 4,
-                      threshold: Double = 0.9): DataFrame = {
-    val sh = shingles(df, textCol, idCol, k)
-    val sig = minhashSignatures(sh, idCol, numHashes)
+                      threshold: Double = 0.9, minEstMatches: Int = -1): DataFrame = {
+    val minM = if (minEstMatches >= 0) minEstMatches
+               else math.ceil((threshold - 0.15) * numHashes).toInt
+    // sh feeds signatures + verify, sig feeds bands + estimate: materialize
+    // each once (eager local checkpoint) instead of recomputing the explode
+    // and 8-way MD5 aggregation for every consumer
+    val sh = shingles(df, textCol, idCol, k).localCheckpoint(true)
+    val sig = minhashSignatures(sh, idCol, numHashes).localCheckpoint(true)
     val cand = lshCandidates(lshBands(sig, idCol, bands, numHashes / bands), idCol)
-    verifiedJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
+    val pruned = estimateFilter(cand, sig, idCol, numHashes, minM)
+    verifiedJaccard(pruned, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
   /** 16-bit SimHash over whitespace tokens: per bit, majority vote of the
     * token-hash bits (nibbles of md5 hex). Fingerprints with small hamming
     * distance ⇒ similar token distributions. Output: (id, simhash). */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
     val bits = toks
       .select(col(idCol), col("w"), explode(sequence(lit(0), lit(15))).as("bit"))
       .withColumn("nibble",
@@ -107,7 +150,10 @@ object Dedup {
     * cross-join" shape; block granularity bounds the quadratic term. */
   def tokenJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockKey: Column, threshold: Double): DataFrame = {
-    val docs = df.select(col(idCol), blockKey.as("blk"),
+    // spread the probe side: the block join multiplies each doc row by its
+    // block's size, so the handful of parquet splits a doc table arrives in
+    // must be fanned out before the join, not after
+    val docs = df.repartition(col(idCol)).select(col(idCol), blockKey.as("blk"),
       array_distinct(split(col(textCol), " ")).as("tw"))
     val l = docs.select(col("blk"), col(idCol).as("a"), col("tw").as("ta"))
     val r = docs.select(col("blk"), col(idCol).as("b"), col("tw").as("tb"))

@@ -65,7 +65,8 @@ object LlmQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
-    // MinHash + LSH banding + bucket join + true-Jaccard verify (>= 0.9)
+    // MinHash + LSH banding + bucket join + signature-estimate prune (>= 6/8)
+    // + true-Jaccard verify (>= 0.9)
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
         k = 5, numHashes = 8, bands = 4, threshold = 0.9)),
@@ -133,22 +134,28 @@ object LlmQueries {
     "q_dedup_exact" ->
       "SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1",
 
-    "q_dedup_minhash" ->
+    "q_dedup_minhash" -> {
+      val estSum = (0 to 7).map(j => s"CAST(sa.h$j = sb.h$j AS INT)").mkString(" + ")
       s"""WITH shingles AS ($sqlShingles5),
          |sig AS ($sqlSig8),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand),
+         |pruned AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+         |  WHERE $estSum >= 6),
          |sets AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
          |inter AS (
          |  SELECT c.a, c.b, count(*) AS i
-         |  FROM cand c JOIN shingles sa ON c.a = sa.doc_id
+         |  FROM pruned c JOIN shingles sa ON c.a = sa.doc_id
          |  JOIN shingles sb ON c.b = sb.doc_id AND sa.sh = sb.sh
          |  GROUP BY c.a, c.b)
          |SELECT a, b, jaccard FROM (
          |  SELECT i.a, i.b,
          |    CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
          |  FROM inter i JOIN sets na ON i.a = na.doc_id JOIN sets nb ON i.b = nb.doc_id) j
-         |WHERE jaccard >= 0.9""".stripMargin,
+         |WHERE jaccard >= 0.9""".stripMargin
+    },
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
