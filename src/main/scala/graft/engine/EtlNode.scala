@@ -60,10 +60,15 @@ class SqlNode(
   val outputIds: Seq[String] = sqls.keys.toSeq.sorted
 
   def run(cat: Catalog): Unit = {
-    inputIds.foreach(id => cat.read(id).createOrReplaceTempView(id))
+    // isolated temp-view namespace per node run (the Spark analogue of the
+    // reference's per-cursor DuckDB registration, rdb.py:80-88): no view leaks
+    // into the long-lived session, and concurrent nodes sharing an input id
+    // cannot race on register/drop of the same view name
+    val s = cat.spark.newSession()
+    inputIds.foreach(id => s.read.parquet(cat.path(id)).createOrReplaceTempView(id))
     outputIds.foreach { out =>
       val sql = sqls(out)
-      try cat.write(cat.spark.sql(s"SELECT * FROM ($sql)"), out)
+      try cat.write(s.sql(s"SELECT * FROM ($sql)"), out)
       catch {
         case e: Throwable =>
           // error context = node name + SQL text (reference etl.py:218-232)

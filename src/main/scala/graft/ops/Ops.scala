@@ -111,6 +111,14 @@ object JsonFlatten {
   def explodeJsonMap(df: DataFrame, jsonCol: String, keyOut: String, valOut: String): DataFrame =
     df.select(col("*"), explode(from_json(col(jsonCol), MapType(StringType, StringType))).as(Seq(keyOut, valOut)))
       .filter(col(valOut).isNotNull)
+
+  /** Serialize columns to a JSON-string column — the write half of F7
+    * (reference `json.dumps`, crawl.py:54). */
+  def toJson(cols: Column*): Column = to_json(struct(cols: _*))
+
+  /** JSON object key count (F12, reference `len(releases)`, crawl.py:30-34). */
+  def jsonCardinality(jsonCol: Column): Column =
+    size(map_keys(from_json(jsonCol, MapType(StringType, StringType))))
 }
 
 /** Text cleanup used as ER preprocessing (reference dedupe_example.py:30-47):

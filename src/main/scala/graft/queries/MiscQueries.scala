@@ -67,6 +67,34 @@ object MiscQueries {
         .groupBy("license").agg(count(lit(1)).as("cnt"))
     }),
 
+    // O5: id-set intersection (reference canon.py:127-140 old/new split)
+    "q_intersect" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_quantity") > 45).select(col("l_partkey").as("id")).distinct()
+        .intersect(t(s, dir, "part").filter(col("p_size") > 30).select(col("p_partkey").as("id")))
+    }),
+
+    // F12: JSON object cardinality (reference num_releases, crawl.py:30-34)
+    "q_json_cardinality" -> ((s, dir) => {
+      s.read.schema("event_id LONG, props STRING").parquet(s"$dir/events.parquet")
+        .select(col("event_id"), JsonFlatten.jsonCardinality(col("props")).cast("long").as("n_props"))
+    }),
+
+    // F6: sentence-prefix feature exprs (reference meta.py:284-288) over a
+    // sentence-ized text column
+    "q_sentence_features" -> ((s, dir) => {
+      import graft.er.Features
+      t(s, dir, "documents")
+        .withColumn("s", regexp_replace(col("text"), " table", ". table"))
+        .select(col("doc_id"),
+          Features.titlePrefix(col("s")).as("title"),
+          Features.firstSentences(col("s"), 2).as("title_n_first_line"))
+    }),
+
+    // streaming: watermarked tumbling-window agg over events consumed as a
+    // file stream (AvailableNow), verified against the batch oracle
+    "q_stream_window" -> ((s, dir) =>
+      graft.streaming.Streams.windowedEventCounts(s, s"$dir/events.parquet")),
+
     // incremental cache merge: new run wins per key, cache fills the rest
     // (crawl.py:117-153 keep-first pattern as a query)
     "q_cache_merge" -> ((s, dir) => {
@@ -105,6 +133,28 @@ object MiscQueries {
         |refs AS (SELECT hash(o_orderpriority) AS ref_id FROM orders)
         |SELECT license, count(*) AS cnt
         |FROM refs JOIN nodes ON ref_id = node_id GROUP BY license""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT DISTINCT l_partkey AS id FROM lineitem WHERE l_quantity > 45
+        |INTERSECT
+        |SELECT p_partkey AS id FROM part WHERE p_size > 30""".stripMargin,
+
+    "q_json_cardinality" ->
+      """SELECT event_id, CAST(len(regexp_extract_all(props, '"[^"]+" *:')) AS BIGINT) AS n_props
+        |FROM events""".stripMargin,
+
+    "q_sentence_features" ->
+      """SELECT doc_id,
+        |  '<start> ' || string_split(s, '.')[1] AS title,
+        |  '<start> ' || array_to_string(string_split(s, '.')[1:2], '.
+        |') AS title_n_first_line
+        |FROM (SELECT doc_id, replace(text, ' table', '. table') AS s FROM documents) d""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_cache_merge" ->
       """SELECT o_orderkey, o_totalprice, src FROM (

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface. The reference has no streams (SURVEY §2.11) —
+  * its closest notion is incremental batch — so this module is the engine's
+  * forward-looking extra: the same event table consumed as a stream with
+  * watermarked event-time windows. `Trigger.AvailableNow` processes the
+  * current backlog and stops, which makes the streaming path testable against
+  * a batch/DuckDB oracle (identical input ⇒ identical windows) while the same
+  * code runs continuous micro-batches on a real feed.
+  */
+object Streams {
+
+  /** events.parquet schema, with the nanosecond timestamp read as a long
+    * (Spark's reader rejects TIMESTAMP(NANOS)); [[eventTime]] restores it. */
+  val eventsSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** Nanos-long to proper event-time timestamp (exact: values are µs-grained). */
+  def eventTime = expr("timestamp_micros(ts div 1000)")
+
+  private val runId = new AtomicInteger(0)
+
+  /** Tumbling-window event aggregation over a parquet directory consumed AS A
+    * STREAM: watermark + 1h window, count + exact decimal sum per event type.
+    * Runs the backlog to completion (AvailableNow) and returns the result.
+    *
+    * Scale notes: the window agg is stateful with watermark-bounded state
+    * (late data beyond 1h is dropped; state for closed windows is evicted);
+    * on a live feed swap the trigger and sink, nothing else changes. */
+  def windowedEventCounts(spark: SparkSession, eventsDir: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    // the file stream source requires a directory; accept a single file too
+    val (base, glob) = {
+      val p = new java.io.File(eventsDir)
+      if (p.isFile) (p.getParent, p.getName) else (eventsDir, "*")
+    }
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(base)
+      .withColumn("event_ts", eventTime)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

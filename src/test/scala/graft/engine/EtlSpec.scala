@@ -29,6 +29,13 @@ class EtlSpec extends AnyFunSuite {
     assert(TestSpark.rows(cat.read("out")) === Set(Seq(1), Seq(2), Seq(3)))
   }
 
+  test("SqlNode temp views do not leak into the shared session") {
+    val cat = freshCat()
+    cat.write(Seq(1).toDF("v"), "leaky_in")
+    new SqlNode("iso", Seq("leaky_in"), Map("leaky_out" -> "SELECT * FROM leaky_in")).execute(cat)
+    assert(!spark.catalog.tableExists("leaky_in"))
+  }
+
   test("SqlNode failure carries node name and SQL text (reference etl.py:218-232)") {
     val cat = freshCat()
     cat.write(Seq(1).toDF("v"), "in1")

@@ -60,6 +60,22 @@ class OpsSpec extends AnyFunSuite {
     assert(TestSpark.rows(out.select("id", "url_type", "url")) === Set(Seq(1, "home", "http://h")))
   }
 
+  test("toJson/from_json round-trips (F7 both directions, crawl.py:54 / tabularize.py:25)") {
+    val df = Seq((1L, "pkg", 2L)).toDF("id", "name", "n")
+    val json = df.select(JsonFlatten.toJson(col("name"), col("n")).as("j")).as[String].head()
+    assert(json === """{"name":"pkg","n":2}""")
+    val back = Seq(json).toDF("j")
+      .select(from_json(col("j"), StructType(Seq(
+        StructField("name", StringType), StructField("n", LongType)))).as("s"))
+      .select("s.name", "s.n").head()
+    assert((back.getString(0), back.getLong(1)) === (("pkg", 2L)))
+  }
+
+  test("jsonCardinality counts object keys (F12, crawl.py:30-34)") {
+    val df = Seq("""{"a":1,"b":2}""", """{}""").toDF("j")
+    assert(df.select(JsonFlatten.jsonCardinality(col("j")).as("n")).as[Int].collect().toSeq === Seq(2, 0))
+  }
+
   test("TextNorm collapses punctuation/whitespace and lowercases (dedupe_example.py:30-47)") {
     val out = Seq("  Foo-BAR/baz,  qux:  'quoted'\nline ")
       .toDF("s").select(TextNorm.normalize(col("s")).as("n")).as[String].head()
