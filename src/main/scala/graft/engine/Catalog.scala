@@ -36,7 +36,27 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def read(id: String): DataFrame = spark.read.parquet(path(id))
+  // cached in-session tables (RDB-only outputs, reference etl.py:390-394 S4);
+  // the cache itself lives in SharedState, so any session can consume them
+  private val tables = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Keep a result as a cached table instead of a parquet dataset. */
+  def registerTable(df: DataFrame, id: String): Unit = {
+    df.persist()
+    df.count() // materialize eagerly so downstream nodes read the cache
+    tables.put(id, df)
+    ()
+  }
+
+  def read(id: String): DataFrame = readAny(id, spark)
+
+  /** Read an id for an arbitrary session (in-db table or parquet dataset). */
+  def readAny(id: String, s: SparkSession): DataFrame =
+    Option(tables.get(id)) match {
+      case Some(df) if df.sparkSession eq s => df
+      case Some(df) => s.createDataFrame(df.rdd, df.schema) // rebind cached data
+      case None => s.read.parquet(path(id))
+    }
 
   /** Full overwrite per run — the reference has no updates (storage.py:151-155).
     * Always writes into the catalog's own namespace, never over a linked input. */
@@ -45,12 +65,23 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     df.write.mode(SaveMode.Overwrite).parquet(path(id))
   }
 
-  def exists(id: String): Boolean = {
-    val p = new Path(path(id))
-    fs(p).exists(p)
+  /** Hive-style partitioned overwrite: one directory per partition value, so
+    * downstream reads with a partition-column filter prune at the source —
+    * the layout a 100 TB dataset needs (by date/shard), not a reference
+    * feature but the scale-correct S2 variant. */
+  def writePartitioned(df: DataFrame, id: String, partitionCols: Seq[String]): Unit = {
+    external.remove(id)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path(id))
   }
 
+  def exists(id: String): Boolean =
+    tables.containsKey(id) || {
+      val p = new Path(path(id))
+      fs(p).exists(p)
+    }
+
   def drop(id: String): Unit = {
+    Option(tables.remove(id)).foreach(_.unpersist())
     val p = new Path(path(id))
     val f = fs(p)
     if (f.exists(p)) f.delete(p, true)

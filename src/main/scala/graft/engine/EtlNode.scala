@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 
 /** Unit of dataflow: declares `inputIds`/`outputIds`, lifecycle start -> run -> end.
   *
@@ -49,12 +49,19 @@ trait EtlNode {
   *
   * As in the reference (etl.py:345-349), output ids and SQL keys must agree —
   * enforced here by construction (`outputIds = sqls.keys`).
+  *
+  * `materialize = InDb` keeps outputs as *cached session tables* instead of
+  * parquet — the reference's RDB-only storage configuration (`CREATE TABLE {id}
+  * AS`, etl.py:390-394, S4), for short-lived intermediates that never need to
+  * hit the filesystem. Such outputs live in [[Catalog.registerTable]]'s table
+  * registry rather than on disk.
   */
 class SqlNode(
     override val name: String,
     val inputIds: Seq[String],
     sqls: Map[String, String],
-    override val doCache: Boolean = false)
+    override val doCache: Boolean = false,
+    val materialize: SqlNode.Materialize = SqlNode.ToFs)
   extends EtlNode {
 
   val outputIds: Seq[String] = sqls.keys.toSeq.sorted
@@ -65,17 +72,30 @@ class SqlNode(
     // into the long-lived session, and concurrent nodes sharing an input id
     // cannot race on register/drop of the same view name
     val s = cat.spark.newSession()
-    inputIds.foreach(id => s.read.parquet(cat.path(id)).createOrReplaceTempView(id))
+    inputIds.foreach(id => cat.readAny(id, s).createOrReplaceTempView(id))
     outputIds.foreach { out =>
       val sql = sqls(out)
-      try cat.write(s.sql(s"SELECT * FROM ($sql)"), out)
-      catch {
+      try {
+        val df = s.sql(s"SELECT * FROM ($sql)")
+        materialize match {
+          case SqlNode.ToFs => cat.write(df, out)
+          case SqlNode.InDb => cat.registerTable(df, out)
+        }
+      } catch {
         case e: Throwable =>
           // error context = node name + SQL text (reference etl.py:218-232)
           throw new RuntimeException(s"SqlNode '$name' output '$out' failed; SQL:\n$sql", e)
       }
     }
   }
+}
+
+object SqlNode {
+  sealed trait Materialize
+  /** Outputs written as parquet datasets (the default FS-output config). */
+  case object ToFs extends Materialize
+  /** Outputs kept as cached in-session tables (RDB-only config, S4). */
+  case object InDb extends Materialize
 }
 
 /** Whole-table transform node: `Seq[DataFrame] => Seq[DataFrame]`.
@@ -104,5 +124,31 @@ class DfNode(
     require(outs.length == outputIds.length,
       s"DfNode '$name': transform returned ${outs.length} tables for ${outputIds.length} output ids")
     outputIds.zip(outs).foreach { case (id, df) => cat.write(df, id) }
+  }
+}
+
+/** Statically-typed transform node: `Dataset[I] => Dataset[O]` with case-class
+  * encoders. The reference infers container types from Python annotations and
+  * asserts them at runtime (etl.py:438-457); with encoders the same contract
+  * moves to the compiler — a transform that doesn't produce `O` does not build. */
+class TypedNode[I: Encoder, O: Encoder](
+    override val name: String,
+    inputId: String,
+    outputId: String,
+    fn: Dataset[I] => Dataset[O],
+    override val doCache: Boolean = false)
+  extends EtlNode {
+
+  val inputIds: Seq[String] = Seq(inputId)
+  val outputIds: Seq[String] = Seq(outputId)
+
+  def run(cat: Catalog): Unit = {
+    val out =
+      try fn(cat.read(inputId).as[I])
+      catch {
+        case e: Throwable =>
+          throw new RuntimeException(s"TypedNode '$name' transform failed", e)
+      }
+    cat.write(out.toDF(), outputId)
   }
 }

@@ -4,9 +4,14 @@ import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+
+// top-level so spark.implicits can derive encoders (local case classes can't)
+case class TypedIn(id: Long, s: String)
+case class TypedOut(id: Long, len: Int)
 
 /** Mirrors the reference's executor/processor/etl suites
   * (tests/test_executor.py:11-93, test_processor.py:17-113, test_etl.py:65-106):
@@ -158,6 +163,38 @@ class EtlSpec extends AnyFunSuite {
     new EtlGroup("cap", (1 to 6).map(probe)).execute(cat, maxActiveRun = 2)
     assert(maxSeen.get() <= 2)
     assert((1 to 6).forall(i => cat.exists(s"o$i")))
+  }
+
+  test("RDB-only SqlNode chain: outputs live as cached tables, never on disk (test_executor.py RDB config / S4)") {
+    val cat = freshCat()
+    cat.write(Seq(1, 2, 3).toDF("v"), "base")
+    val mid = new SqlNode("mid", Seq("base"), Map("doubled" -> "SELECT v * 2 AS v FROM base"),
+      materialize = SqlNode.InDb)
+    val fin = new SqlNode("fin", Seq("doubled"), Map("final_out" -> "SELECT sum(v) AS s FROM doubled"))
+    new EtlGroup("rdb", Seq(mid, fin)).execute(cat, maxActiveRun = 1)
+    assert(cat.exists("doubled"))
+    assert(!new java.io.File(cat.path("doubled")).exists()) // in-db only, no parquet
+    assert(cat.read("final_out").as[Long].head() === 12L)
+    cat.drop("doubled")
+    assert(!cat.exists("doubled"))
+  }
+
+  test("TypedNode transforms with compile-time schemas (etl.py:438-457 analogue)") {
+    val cat = freshCat()
+    cat.write(Seq((1L, "a"), (2L, "bb")).toDF("id", "s"), "typed_in")
+    val node = new TypedNode[TypedIn, TypedOut]("typed", "typed_in", "typed_out",
+      fn = ds => ds.map(r => TypedOut(r.id, r.s.length)))
+    node.execute(cat)
+    assert(TestSpark.rows(cat.read("typed_out")) === Set(Seq(1L, 1), Seq(2L, 2)))
+  }
+
+  test("writePartitioned lays out hive-style partitions and reads prune by value") {
+    val cat = freshCat()
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("v", "part_key")
+    cat.writePartitioned(df, "pt", Seq("part_key"))
+    assert(new java.io.File(cat.path("pt") + "/part_key=a").exists())
+    val back = cat.read("pt").filter(col("part_key") === "a")
+    assert(back.select("v").as[Int].collect().toSet === Set(1, 3))
   }
 
   test("doCache snapshots inputs and outputs after a successful run; next run can merge (crawl.py:117-153 pattern)") {
