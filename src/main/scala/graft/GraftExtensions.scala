@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expr.AffineGapSimilarity
+
+/** Session extensions registering the engine's native expressions for SQL use.
+  * Install with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
+  * the DataFrame API works without registration via the Column wrappers. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("affine_gap_sim"),
+      new ExpressionInfo(classOf[AffineGapSimilarity].getName, null, "affine_gap_sim",
+        "_FUNC_(a, b) - affine-gap string similarity in [0,1] (Gotoh alignment).", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "affine_gap_sim takes exactly 2 arguments")
+        AffineGapSimilarity(children(0), children(1))
+      }))
+  }
+}

@@ -62,6 +62,9 @@ object DedupeField {
   sealed trait Kind
   case object Exact extends Kind
   case object StringDist extends Kind
+  /** dedupe's actual comparator family: affine-gap alignment (the native
+    * codegen'd [[graft.expr.AffineGapSimilarity]] expression). */
+  case object AffineGap extends Kind
 
   /** Per-field similarity in [0,1] between columns `a` and `b`. */
   def similarity(f: DedupeField, a: Column, b: Column): Column = f.kind match {
@@ -69,6 +72,7 @@ object DedupeField {
     case StringDist =>
       lit(1.0) - levenshtein(a, b).cast("double") /
         greatest(length(a), length(b)).cast("double")
+    case AffineGap => graft.expr.AffineGapSimilarity(a, b)
   }
 }
 

@@ -67,6 +67,13 @@ object MiscQueries {
         .groupBy("license").agg(count(lit(1)).as("cnt"))
     }),
 
+    // F11: text normalization chain (reference dedupe_example.py:30-47)
+    "q_text_norm" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+        graft.ops.TextNorm.normalize(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")))
+          .as("norm"))
+    }),
+
     // O5: id-set intersection (reference canon.py:127-140 old/new split)
     "q_intersect" -> ((s, dir) => {
       t(s, dir, "lineitem").filter(col("l_quantity") > 45).select(col("l_partkey").as("id")).distinct()
@@ -133,6 +140,12 @@ object MiscQueries {
         |refs AS (SELECT hash(o_orderpriority) AS ref_id FROM orders)
         |SELECT license, count(*) AS cnt
         |FROM refs JOIN nodes ON ref_id = node_id GROUP BY license""".stripMargin,
+
+    "q_text_norm" ->
+      """SELECT p_partkey,
+        |  trim(regexp_replace(lower(regexp_replace(concat_ws(' ', p_name, p_brand, p_type),
+        |    '[\n\-/''",:]', ' ', 'g')), '\s+', ' ', 'g')) AS norm
+        |FROM part""".stripMargin,
 
     "q_intersect" ->
       """SELECT DISTINCT l_partkey AS id FROM lineitem WHERE l_quantity > 45
