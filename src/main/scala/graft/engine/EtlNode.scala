@@ -127,6 +127,40 @@ class DfNode(
   }
 }
 
+/** Incremental transform node — the reference's crawl pattern as a first-class
+  * node (crawl.py:117-153, canon/main.py:51-69): on re-run, the key-diff
+  * against the previous output snapshot decides which input rows are NEW; only
+  * those go through `fn`, and results merge with the snapshot (inputs are
+  * key-disjoint after the anti-join, so no row is transformed twice). doCache
+  * is forced on so each run leaves the snapshot the next run diffs against.
+  *
+  * At scale this is the whole point of incrementality: `fn` may be the
+  * expensive stage (scoring, enrichment, an external call), and it only ever
+  * sees the delta. */
+class IncrementalDfNode(
+    override val name: String,
+    inputId: String,
+    outputId: String,
+    keyCols: Seq[String],
+    fn: DataFrame => DataFrame)
+  extends EtlNode {
+
+  val inputIds: Seq[String] = Seq(inputId)
+  val outputIds: Seq[String] = Seq(outputId)
+  override def doCache: Boolean = true
+
+  def run(cat: Catalog): Unit = {
+    val input = cat.read(inputId)
+    val out =
+      if (cat.existsCache(outputId)) {
+        val cache = cat.loadCache(outputId)
+        val newRows = input.join(cache, keyCols, "left_anti") // key diff (J7)
+        graft.ops.Incremental.mergeKeepFirst(fn(newRows), cache, keyCols)
+      } else fn(input)
+    cat.write(out, outputId)
+  }
+}
+
 /** Statically-typed transform node: `Dataset[I] => Dataset[O]` with case-class
   * encoders. The reference infers container types from Python annotations and
   * asserts them at runtime (etl.py:438-457); with encoders the same contract

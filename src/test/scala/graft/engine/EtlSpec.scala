@@ -197,6 +197,28 @@ class EtlSpec extends AnyFunSuite {
     assert(back.select("v").as[Int].collect().toSet === Set(1, 3))
   }
 
+  test("IncrementalDfNode transforms only the key-diff on re-run and merges the snapshot (crawl.py:117-153)") {
+    val cat = freshCat()
+    val transformed = new AtomicInteger(0)
+    def node() = new IncrementalDfNode("inc", "inc_src", "inc_out", Seq("id"),
+      fn = df => {
+        transformed.addAndGet(df.count().toInt)
+        df.withColumn("processed", col("id") * 10)
+      })
+
+    cat.write(Seq(1, 2).toDF("id"), "inc_src")
+    node().execute(cat)
+    assert(transformed.get() === 2)
+    assert(cat.existsCache("inc_out"))
+
+    // second run: one new key; only it goes through fn, old rows come from cache
+    cat.write(Seq(1, 2, 3).toDF("id"), "inc_src")
+    node().execute(cat)
+    assert(transformed.get() === 3) // +1, not +3
+    assert(TestSpark.rows(cat.read("inc_out")) ===
+      Set(Seq(1, 10), Seq(2, 20), Seq(3, 30)))
+  }
+
   test("doCache snapshots inputs and outputs after a successful run; next run can merge (crawl.py:117-153 pattern)") {
     val cat = freshCat()
     cat.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), "src")
