@@ -74,6 +74,27 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path(id))
   }
 
+  /** Bucketed managed table: rows hash-clustered into `numBuckets` files per
+    * the bucket columns. Two tables bucketed the same way equi-join WITHOUT a
+    * shuffle — the co-located-join layout for repeatedly-joined 100 TB facts.
+    * Bucketed tables live in the session catalog (saveAsTable), read them
+    * back with [[readTable]]. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
+    // a previous JVM may have left the managed location without the catalog
+    // entry — drop both so the overwrite is idempotent across sessions
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new Path(s"$warehouse/$table")
+    val f = fs(loc)
+    if (f.exists(loc)) f.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  def readTable(table: String): DataFrame = spark.table(table)
+
   def exists(id: String): Boolean =
     tables.containsKey(id) || {
       val p = new Path(path(id))

@@ -67,6 +67,41 @@ object Similarity {
       Seq(col("cos").desc, col("match_id").asc), k)
   }
 
+  /** IVF-style ANN: a coarse quantizer (the first `nLists` vectors act as
+    * deterministic seed centroids) partitions the corpus into inverted lists;
+    * each query probes ONLY its own list. Against brute force this divides the
+    * scanned corpus by ~nLists at some recall cost (probe-1; widen by unioning
+    * more lists). A trained k-means quantizer slots in by swapping the seed
+    * table — the dataflow (assign via argmax seed-cosine → equi-join on list
+    * id → local top-k) is identical, and every step is integer-exact, so the
+    * whole index build + search is oracle-verifiable. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, nLists: Int, k: Int): DataFrame = {
+    val seeds = corpus.filter(col(idCol) < nLists)
+      .select(col(idCol).as("list_id"), quantize(col(embCol)).as("sv"))
+
+    // assign a vector set to its nearest seed (ties -> smallest list id)
+    def assign(df: DataFrame, outId: String): DataFrame = {
+      // bounded cross: every vector scores all nLists seeds (what a coarse
+      // quantizer is); seeds are broadcast, n × nLists rows total
+      val scored = df.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
+        .crossJoin(broadcast(seeds))
+        .select(col(outId), col("v"), col("list_id"), qcosine(col("v"), col("sv")).as("c"))
+      graft.ops.DistinctOn.distinctOnOrdered(
+        scored, Seq(col(outId)), Seq(col("c").desc, col("list_id").asc))
+        .select(col(outId), col("list_id"), col("v"))
+    }
+
+    val lists = assign(corpus, "match_id")
+    val probes = assign(queries, "query_id")
+    val scored = probes.withColumnRenamed("v", "qv")
+      .join(lists.withColumnRenamed("v", "cv"), Seq("list_id"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"), qcosine(col("qv"), col("cv")).as("cos"))
+    graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("match_id").asc), k)
+  }
+
   /** Embedding near-dup pairs: within-bucket candidate pairs with cosine above
     * `threshold` (the embedding flavor of LSH dedup). */
   def nearDupPairs(emb: DataFrame, idCol: String, embCol: String,

@@ -99,6 +99,13 @@ object LlmQueries {
         planes = 8, k = 5)
     }),
 
+    // IVF-style top-5: 16 seed centroids -> inverted lists -> probe own list
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nLists = 16, k = 5)
+    }),
+
     // token counting: whitespace + BPE-ish regex subword count
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -202,6 +209,23 @@ object LlmQueries {
          |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
          |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
+         |seeds AS (SELECT vec_id AS list_id, qv AS sv FROM v WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM v x CROSS JOIN seeds s) a
+         |  WHERE rn = 1)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
+         |  FROM assigned q JOIN assigned c ON q.list_id = c.list_id
+         |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
          |WHERE rn <= 5""".stripMargin,
 
     "q_text_tokens" ->

@@ -62,6 +62,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(TestSpark.rows(cat.read("d")) === Set(Seq(9)))
   }
 
+  test("bucketed tables equi-join without a shuffle (co-located join layout)") {
+    val cat = freshCat()
+    val facts = (1L to 500L).map(i => (i, i * 2)).toDF("k", "a")
+    val dims = (1L to 500L).map(i => (i, s"d$i")).toDF("k", "b")
+    cat.writeBucketed(facts, "bkt_facts", Seq("k"), 4)
+    cat.writeBucketed(dims, "bkt_dims", Seq("k"), 4)
+    // disable broadcast so the planner takes the (scale-relevant) merge path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = cat.readTable("bkt_facts").join(cat.readTable("bkt_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("link reads an external dataset without copying; write stays internal") {
     val cat = freshCat()
     val extDir = Files.createTempDirectory("graft_ext").toString
