@@ -102,6 +102,15 @@ object MiscQueries {
     "q_stream_window" -> ((s, dir) =>
       graft.streaming.Streams.windowedEventCounts(s, s"$dir/events.parquet")),
 
+    // gap-based sessionization (30-min gap) — the canonical stateful
+    // log-pipeline operator, batch formulation
+    "q_sessionize" -> ((s, dir) => {
+      val events = s.read.schema(graft.streaming.Streams.eventsSchema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("event_ts", graft.streaming.Streams.eventTime)
+      graft.streaming.Sessionize.batch(events, gapMinutes = 30)
+    }),
+
     // incremental cache merge: new run wins per key, cache fills the rest
     // (crawl.py:117-153 keep-first pattern as a query)
     "q_cache_merge" -> ((s, dir) => {
@@ -162,6 +171,17 @@ object MiscQueries {
         |  '<start> ' || array_to_string(string_split(s, '.')[1:2], '.
         |') AS title_n_first_line
         |FROM (SELECT doc_id, replace(text, ' table', '. table') AS s FROM documents) d""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT event_id, user_id,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events) e""".stripMargin,
 
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

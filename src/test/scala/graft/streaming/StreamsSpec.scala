@@ -9,6 +9,63 @@ class StreamsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("batch sessionize splits on gaps with deterministic numbering") {
+    val min = 60L * 1000000L
+    val events = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10 * min), (3L, 1L, 120 * min), // user 1: 2 sessions
+      (4L, 2L, 0L)                                           // user 2: 1 session
+    ).toDF("event_id", "user_id", "us")
+      .withColumn("event_ts", expr("timestamp_micros(us)"))
+    val out = Sessionize.batch(events, gapMinutes = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("streaming sessionizer carries open sessions across micro-batch runs via state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ck").toString
+    val min = 60L * 1000000L
+
+    // file sink (memory sink cannot recover from a checkpoint across runs)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    def runBatch(): Unit = {
+      val q = Sessionize.streamingSessions(
+        spark.readStream.schema("user_id LONG, event_id LONG, ts_micros LONG")
+          .parquet(dir).as[Sessionize.Event],
+        gapMinutes = 30)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sessionsSoFar(): Seq[Sessionize.Session] =
+      spark.read.schema("user_id LONG, start_micros LONG, end_micros LONG, n_events LONG")
+        .parquet(outDir).as[Sessionize.Session].collect().toSeq
+
+    // the file source lists plain files in the watched dir — drop each batch
+    // in as a single flat parquet file
+    def addFile(n: Int, rows: Seq[Sessionize.Event]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_w").toString
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, s"b$n.parquet"))
+      ()
+    }
+
+    // batch 1: one open session for user 7 — nothing emitted yet
+    addFile(1, Seq(Sessionize.Event(7L, 1L, 0L), Sessionize.Event(7L, 2L, 5 * min)))
+    runBatch()
+    assert(sessionsSoFar().isEmpty)
+
+    // batch 2: an event far beyond the gap closes the session held in state
+    addFile(2, Seq(Sessionize.Event(7L, 3L, 500 * min)))
+    runBatch()
+    assert(sessionsSoFar() === Seq(Sessionize.Session(7L, 0L, 5 * min, 2L)))
+  }
+
   test("streamed windowed aggregation equals the batch equivalent on the same files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // two hours of events, ts in nanos (as the driver's events table stores them)
