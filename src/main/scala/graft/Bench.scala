@@ -24,6 +24,15 @@ object Bench {
     ()
   }
 
+  /** Release state a query left behind (caches, checkpointed RDDs held only
+    * by dead references) so later queries are measured on a clean session —
+    * without this, storage accumulated across ~50 warm-up queries evicts the
+    * next query's checkpoints and its timed pass degrades several-fold. */
+  private def cleanup(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,6 +52,7 @@ object Bench {
       val t0 = System.nanoTime()
       try consume(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench][warmup] $name failed: ${e.getMessage}") }
+      cleanup(spark)
       System.err.println(f"[bench][warmup] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
@@ -55,6 +65,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+      cleanup(spark)
       System.err.println(f"[bench] $name $sec%.2fs")
       name -> sec
     }
