@@ -73,12 +73,67 @@ object Flagship {
           .select(col("from_id"), col("to_id"), col("license"), col("cnt")))
       })
 
-    val group = new EtlGroup(
-      "flagship_graph_pipeline",
-      Seq(licenseNodes, customerNodes, links, validate),
-      dropIntermediates = false)
-    group.execute(cat, maxActiveRun = 2)
+    // --- ER branch (reference resolution pipeline, messy.py/convertor.py) ---
+    cat.link("part", s"$sfDir/part.parquet")
 
+    val erFeatures = new SqlNode(
+      "er_feature_engineering",
+      inputIds = Seq("part"),
+      sqls = Map(
+        "er_features" ->
+          """SELECT min(p_partkey) AS node_id, p_name AS full_name,
+            |  substring_index(p_name, ' ', 1) AS first_token,
+            |  element_at(split(p_name, ' '), 2) AS last_token
+            |FROM part GROUP BY p_name""".stripMargin))
+
+    val erFields = Seq(
+      graft.er.DedupeField("full_name", graft.er.DedupeField.StringDist, 0.5),
+      graft.er.DedupeField("first_token", graft.er.DedupeField.Exact, 0.25),
+      graft.er.DedupeField("last_token", graft.er.DedupeField.Exact, 0.25))
+
+    val erScore = new DfNode(
+      "er_block_pair_score",
+      inputIds = Seq("er_features"),
+      outputIds = Seq("er_matches"),
+      fn = { case Seq(feats) =>
+        val blocks = graft.er.Blocking.blockTable(feats, "node_id",
+          Seq(col("first_token"), col("last_token")))
+        val pairs = graft.er.Pairing.candidatePairs(blocks)
+        val entityMap = graft.er.Pairing.withFeatures(pairs, feats, "node_id", erFields.map(_.name))
+        Seq(graft.er.Scoring.selectPairs(entityMap, erFields, threshold = 0.6))
+      })
+
+    val erClusters = new DfNode(
+      "er_connected_components",
+      inputIds = Seq("er_matches"),
+      outputIds = Seq("er_clusters"),
+      fn = { case Seq(matches) =>
+        Seq(graft.er.ConnectedComponents.clusterMapping(matches.select("from", "to")))
+      })
+
+    // rewrite part keys to canonical entity ids (IDConvertor, convertor.py:105-115)
+    val erRewrite = new DfNode(
+      "er_id_rewrite",
+      inputIds = Seq("part", "er_features", "er_clusters"),
+      outputIds = Seq("part_q"),
+      fn = { case Seq(part, feats, clusters) =>
+        val entityOf = part.join(feats, part("p_name") === feats("full_name"))
+          .select(col("p_partkey").as("messy_id"), col("node_id").as("new_id"))
+        val canonical = graft.er.IdConvert.convert(
+          part.select("p_partkey", "p_name"), entityOf, "p_partkey")
+        val clustered = graft.er.IdConvert.convert(
+          canonical, clusters.select(col("messy_id"), col("cluster_id").as("new_id")), "p_partkey")
+        Seq(clustered)
+      })
+
+    val group = new EtlGroup(
+      "flagship_pipeline",
+      Seq(licenseNodes, customerNodes, links, validate,
+        erFeatures, erScore, erClusters, erRewrite),
+      dropIntermediates = false)
+    group.execute(cat, maxActiveRun = 4)
+
+    require(cat.read("part_q").count() > 0, "ER branch produced no rewritten rows")
     cat.read("flagship_graph").orderBy(col("license"), col("from_id"))
   }
 }

@@ -71,6 +71,15 @@ object LlmQueries {
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
         k = 5, numHashes = 8, bands = 4, threshold = 0.9)),
 
+    // the dedup deliverable: near-dup pairs -> connected components ->
+    // canonical doc per cluster (keep the min doc_id)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, numHashes = 8, bands = 4, threshold = 0.9)
+      graft.er.ConnectedComponents.clusterMapping(pairs.select("a", "b"))
+        .select(col("messy_id").as("doc_id"), col("cluster_id").as("canonical_id"))
+    }),
+
     // 16-bit SimHash fingerprints (majority vote of token-hash bits)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")),
@@ -162,6 +171,36 @@ object LlmQueries {
          |    CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
          |  FROM inter i JOIN sets na ON i.a = na.doc_id JOIN sets nb ON i.b = nb.doc_id) j
          |WHERE jaccard >= 0.9""".stripMargin
+    },
+
+    "q_dedup_clusters" -> {
+      val estSum = (0 to 7).map(j => s"CAST(sa.h$j = sb.h$j AS INT)").mkString(" + ")
+      s"""WITH RECURSIVE shingles AS ($sqlShingles5),
+         |sig AS ($sqlSig8),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |pruned AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+         |  WHERE $estSum >= 6),
+         |sets AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS i
+         |  FROM pruned c JOIN shingles sa ON c.a = sa.doc_id
+         |  JOIN shingles sb ON c.b = sb.doc_id AND sa.sh = sb.sh
+         |  GROUP BY c.a, c.b),
+         |nd AS (
+         |  SELECT a, b FROM (
+         |    SELECT i.a, i.b,
+         |      CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+         |    FROM inter i JOIN sets na ON i.a = na.doc_id JOIN sets nb ON i.b = nb.doc_id) j
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT a, b FROM nd UNION SELECT b AS a, a AS b FROM nd),
+         |walk AS (
+         |  SELECT DISTINCT a AS id, a AS comp FROM edges
+         |  UNION
+         |  SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON w.id = e.a)
+         |SELECT id AS doc_id, min(comp) AS canonical_id FROM walk GROUP BY id""".stripMargin
     },
 
     "q_dedup_simhash" ->
