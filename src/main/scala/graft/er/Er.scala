@@ -212,9 +212,12 @@ object ConnectedComponents {
       // candidate labels arriving over edges, merged with current labels
       val messages = e.join(labels, e("src") === labels("id"))
         .select(e("dst").as("id"), col("component"))
+      // lazy checkpoint: the convergence count below materializes it, so each
+      // iteration is ONE Spark job (eager would add a second); lineage still
+      // truncates, plans stay flat
       val next = labels.select("id", "component").union(messages)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true) // truncate lineage; one action per iteration
+        .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
       labels = next
