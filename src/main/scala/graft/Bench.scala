@@ -45,7 +45,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated filter for one-off investigations
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // warm-up: run everything once, un-timed
     queries.foreach { case (name, fn) =>

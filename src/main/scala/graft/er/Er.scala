@@ -212,17 +212,23 @@ object ConnectedComponents {
       // candidate labels arriving over edges, merged with current labels
       val messages = e.join(labels, e("src") === labels("id"))
         .select(e("dst").as("id"), col("component"))
-      // lazy checkpoint: the convergence count below materializes it, so each
-      // iteration is ONE Spark job (eager would add a second); lineage still
-      // truncates, plans stay flat
-      val next = labels.select("id", "component").union(messages)
+      val propagated = labels.select("id", "component").union(messages)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(false)
+      // path compression (pointer jumping): component <- component(component).
+      // Plain min-label propagation needs O(diameter) rounds — a 30-doc
+      // near-dup chain is 30 rounds; compression squares the reach per round,
+      // so convergence is O(log diameter).
+      val parents = propagated.select(col("id").as("__pid"), col("component").as("__pcomp"))
+      val next = propagated.join(parents, col("component") === col("__pid"), "left")
+        .select(col("id"), coalesce(col("__pcomp"), col("component")).as("component"))
+        .localCheckpoint(false) // the convergence count materializes it: one job/round
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
       labels = next
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[cc] iter=$iter changed=$changed")
     }
     e.unpersist()
     require(converged, s"connected components did not converge in $maxIter iterations")
