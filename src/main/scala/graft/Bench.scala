@@ -30,6 +30,11 @@ object Bench {
     * next query's checkpoints and its timed pass degrades several-fold. */
   private def cleanup(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
+    // localCheckpoint()ed RDDs are persisted RDDs whose blocks are only freed
+    // when the async ContextCleaner gets to the dead references; across ~50
+    // queries they accumulate and evict later queries' live checkpoints
+    // mid-loop, triggering recompute storms. Free them deterministically.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     System.gc()
   }
 

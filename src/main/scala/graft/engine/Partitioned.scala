@@ -1,8 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** API-parity veneer over the reference's manual MapReduce machinery.
   *
@@ -17,14 +17,28 @@ import org.apache.spark.sql.functions._
 object Partitioned {
 
   /** Reference `AddPartitionKey` (parallize.py:127-142): deterministic partition key
-    * from a global row numbering. At scale, a global `row_number() OVER ()` is a
-    * single-partition sort — prefer [[partitionKeyByHash]]. Kept for exact parity
-    * where a stable `row_id` is part of the contract; requires an explicit ordering
-    * column so results are deterministic (the reference's empty OVER () is not).
+    * from a global row numbering. Kept for exact parity where a stable `row_id` is
+    * part of the contract; requires an explicit ordering column so results are
+    * deterministic (the reference's empty OVER () is not). When only a partition
+    * key (not the global numbering) is needed, prefer [[partitionKeyByHash]].
+    *
+    * Scale shape: NOT a `row_number() OVER (ORDER BY ...)` — an empty-partition
+    * window collapses the whole table into one task. Instead a two-pass global
+    * numbering: a parallel range-partitioned sort, then `zipWithIndex` (one small
+    * count job over partition sizes + a map that adds each partition's cumulative
+    * offset). Every stage stays parallel; `row_id` is 1-based and Long so the
+    * numbering survives > 2³¹ rows.
     */
-  def addPartitionKey(df: DataFrame, orderCol: Column, n: Int): DataFrame =
-    df.withColumn("row_id", row_number().over(Window.orderBy(orderCol)))
-      .withColumn("partition", pmod(col("row_id"), lit(n)))
+  def addPartitionKey(df: DataFrame, orderCol: Column, n: Int): DataFrame = {
+    val sorted = df.sort(orderCol)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("row_id", LongType, nullable = false))
+    val numbered = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(numbered, schema)
+      .withColumn("partition", pmod(col("row_id"), lit(n.toLong)))
+  }
 
   /** Scale-correct partition key: hash-mod, no global sort, fully parallel.
     * `hashFn` defaults to xxhash64; pass [[graft.ops.PortableHash]] output when

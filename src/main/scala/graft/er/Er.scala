@@ -2,7 +2,6 @@ package graft.er
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Entity-resolution pipeline (SURVEY §2.9) — the reference's ML/dataflow heart,
   * re-expressed as block-bounded DataFrame dataflow:
@@ -196,43 +195,77 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val e = {
       val s = edges.toDF("src", "dst")
-      // undirected: symmetrize once
+      // undirected: symmetrize once. Eager localCheckpoint, NOT persist():
+      // the loop references e every round, and a CacheManager persist is not
+      // reliably hit across the iteration jobs (observed: every round re-ran
+      // the full upstream pair-generation DAG, ~40s/round on a 255-edge
+      // graph whose actual propagation work is ~1s/round). Checkpointing
+      // materializes the edge set once and truncates the upstream lineage,
+      // so each round reads a few cached blocks regardless of how expensive
+      // the edge-producing pipeline was. Blocks are freed by the
+      // ContextCleaner once the DataFrame is unreferenced.
       s.select(col("src"), col("dst"))
         .union(s.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
+    // The loop runs with AQE off (restored afterwards): each round is a chain
+    // of small exchanges over already-checkpointed inputs, and AQE turns every
+    // one into a separately-materialized query stage with driver re-planning
+    // between — measured 10-25s/round on a 500-edge graph vs <1.5s without.
+    // Iterative fixpoint algorithms disabling AQE is the established pattern
+    // (GraphFrames' connected components does the same). The heavy work —
+    // producing the edge set — already ran WITH AQE inside the checkpoint
+    // above, so this only affects the per-round propagate/compress jobs.
+    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    var t0 = System.nanoTime()
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    if (verbose)
+      System.err.println(f"[cc] init ${(System.nanoTime() - t0) / 1e9}%.2fs")
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // candidate labels arriving over edges, merged with current labels
+      t0 = System.nanoTime()
+      // candidate labels arriving over edges, merged with current labels; the
+      // old label rides along (tagged `own`) so convergence detection needs no
+      // extra labels-vs-labels join afterwards — every id has exactly one own
+      // row, recovered by max(when(own, component)) (max ignores the nulls)
       val messages = e.join(labels, e("src") === labels("id"))
-        .select(e("dst").as("id"), col("component"))
-      val propagated = labels.select("id", "component").union(messages)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(e("dst").as("id"), col("component"), lit(false).as("own"))
+      val propagated = labels.select(col("id"), col("component"), lit(true).as("own"))
+        .union(messages)
+        .groupBy("id")
+        .agg(min("component").as("component"),
+          max(when(col("own"), col("component"))).as("old"))
       // path compression (pointer jumping): component <- component(component).
       // Plain min-label propagation needs O(diameter) rounds — a 30-doc
       // near-dup chain is 30 rounds; compression squares the reach per round,
       // so convergence is O(log diameter).
       val parents = propagated.select(col("id").as("__pid"), col("component").as("__pcomp"))
       val next = propagated.join(parents, col("component") === col("__pid"), "left")
-        .select(col("id"), coalesce(col("__pcomp"), col("component")).as("component"))
-        .localCheckpoint(false) // the convergence count materializes it: one job/round
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
+        .select(col("id"), coalesce(col("__pcomp"), col("component")).as("component"), col("old"))
+        .localCheckpoint(false)
+      // ONE action per round: materializes the lazy checkpoint and counts the
+      // changed labels in the same scan (the old per-round join + count was a
+      // second full labels-vs-labels join — measurable at scale).
+      val changed = next
+        .agg(count(when(col("component") =!= col("old"), lit(1))).as("c"))
+        .first().getLong(0)
+      labels = next.select("id", "component")
       converged = changed == 0
       iter += 1
-      if (sys.env.contains("GRAFT_CC_VERBOSE"))
-        System.err.println(s"[cc] iter=$iter changed=$changed")
+      if (verbose)
+        System.err.println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    e.unpersist()
     require(converged, s"connected components did not converge in $maxIter iterations")
     labels
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** Reference output shape (messy.py:432-448): (messy_id, cluster_id) where

@@ -146,22 +146,38 @@ object Dedup {
   /** Blocked n-gram (distinct-token) Jaccard near-dup: candidate pairs are
     * generated only within a block (caller-supplied key, e.g. language +
     * length bucket — near-dups rarely differ much in either), then token-set
-    * Jaccard-verified via array intersection. The classic "block, don't
-    * cross-join" shape; block granularity bounds the quadratic term. */
+    * Jaccard-verified. The classic "block, don't cross-join" shape; block
+    * granularity bounds the quadratic term.
+    *
+    * The verify is an inverted-index join-aggregate, not a per-pair array
+    * intersection: explode each doc's distinct tokens into postings, self-join
+    * postings on (block, token) — each matching row is one shared token — and
+    * `groupBy(a, b).count()` gives |∩| with map-side partial aggregation.
+    * |∪| = na + nb − |∩| from per-doc set sizes that ride the postings as one
+    * long. No wide token arrays cross a shuffle, and per-pair cost no longer
+    * scales with document length — only with the number of *shared* tokens.
+    * A size-ratio prefilter (J ≤ min/max, so J ≥ t needs min ≥ t·max) prunes
+    * mismatched-size pairs before the aggregate; the epsilon keeps the double
+    * comparison from false-rejecting exact-boundary pairs. */
   def tokenJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockKey: Column, threshold: Double): DataFrame = {
-    // spread the probe side: the block join multiplies each doc row by its
-    // block's size, so the handful of parquet splits a doc table arrives in
-    // must be fanned out before the join, not after
+    // spread the postings build: the doc table arrives in a handful of parquet
+    // splits, and the token explode below multiplies rows ~100×
     val docs = df.repartition(col(idCol)).select(col(idCol), blockKey.as("blk"),
       array_distinct(split(col(textCol), " ")).as("tw"))
-    val l = docs.select(col("blk"), col(idCol).as("a"), col("tw").as("ta"))
-    val r = docs.select(col("blk"), col(idCol).as("b"), col("tw").as("tb"))
-    val inter = size(array_intersect(col("ta"), col("tb")))
-    l.join(r, Seq("blk"))
-      .filter(col("a") < col("b"))
+    val post = docs.select(col("blk"), col(idCol).as("id"),
+      size(col("tw")).as("n"), explode(col("tw")).as("tok"))
+    val l = post.select(col("blk"), col("tok"), col("id").as("a"), col("n").as("na"))
+    val r = post.select(col("blk"), col("tok"), col("id").as("b"), col("n").as("nb"))
+    val sizeRatioOk =
+      least(col("na"), col("nb")).cast("double") >=
+        lit(threshold - 1e-9) * greatest(col("na"), col("nb")).cast("double")
+    l.join(r, Seq("blk", "tok"))
+      .filter(col("a") < col("b") && sizeRatioOk)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("i"), first("na").as("na"), first("nb").as("nb"))
       .select(col("a"), col("b"),
-        (inter.cast("double") / (size(col("ta")) + size(col("tb")) - inter).cast("double")).as("jaccard"))
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -167,18 +167,11 @@ object ErQueries {
     // E4: pair scoring (levenshtein + exact fields, weighted mean, threshold 0.5)
     "q_er_scoring" -> ((s, dir) => scoredPairs(s, dir, threshold = 0.5)),
 
-    // E4 with dedupe's real comparator: the native codegen'd affine-gap
-    // expression (no SQL oracle — not expressible in DuckDB; rows-only check)
-    "q_er_scoring_affine" -> ((s, dir) => {
-      val affineFields = Seq(
-        DedupeField("full_name", DedupeField.AffineGap, 0.5),
-        DedupeField("first_token", DedupeField.Exact, 0.25),
-        DedupeField("last_token", DedupeField.Exact, 0.25))
-      val feats = messyFeatures(s, dir)
-      val pairs = Pairing.candidatePairs(messyBlocks(s, dir))
-      val entityMap = Pairing.withFeatures(pairs, feats, "node_id", affineFields.map(_.name))
-      Scoring.selectPairs(entityMap, affineFields, threshold = 0.5)
-    }),
+    // E4 with dedupe's real comparator (the native codegen'd affine-gap
+    // expression) is covered spec-only: the DP kernel is not expressible in
+    // DuckDB SQL, so an oracle row would be permanently unverifiable.
+    // AffineGapSpec verifies the kernel against hand-computed alignments and
+    // runs it through the full blocking->pairing->scoring pipeline.
 
     // E5: connected components over matched pairs (min-label propagation)
     "q_er_components" -> ((s, dir) =>

@@ -174,8 +174,8 @@ object MiscQueries {
 
     "q_sessionize" ->
       """SELECT event_id, user_id,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |FROM (
         |  SELECT event_id, user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

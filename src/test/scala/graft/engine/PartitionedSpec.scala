@@ -31,8 +31,8 @@ class PartitionedSpec extends AnyFunSuite {
   test("addPartitionKey numbers rows deterministically by the given order (parity op)") {
     val out = Partitioned.addPartitionKey(base.limit(5), col("id"), 2)
       .select("id", "row_id", "partition").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    assert(out === Set((1L, 1, 1), (2L, 2, 0), (3L, 3, 1), (4L, 4, 0), (5L, 5, 1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 1L, 1L), (2L, 2L, 0L), (3L, 3L, 1L), (4L, 4L, 0L), (5L, 5L, 1L)))
   }
 
   test("saltedJoin equals the plain join on a skewed key") {
