@@ -193,6 +193,7 @@ object ConnectedComponents {
     * @return (id, component) where component = min id reachable — deterministic. */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
+    val tE = System.nanoTime()
     val e = {
       val s = edges.toDF("src", "dst")
       // undirected: symmetrize once. Eager localCheckpoint, NOT persist():
@@ -210,6 +211,8 @@ object ConnectedComponents {
         .localCheckpoint(true)
     }
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
+    if (verbose)
+      System.err.println(f"[cc] edges checkpoint ${(System.nanoTime() - tE) / 1e9}%.2fs")
     // The loop runs with AQE off (restored afterwards): each round is a chain
     // of small exchanges over already-checkpointed inputs, and AQE turns every
     // one into a separately-materialized query stage with driver re-planning

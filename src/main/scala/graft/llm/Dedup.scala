@@ -31,13 +31,27 @@ object Dedup {
       .select(col(idCol), expr(s"substring($textCol, i, $k)").as("sh"))
       .distinct()
 
-  /** MinHash signature, `numHashes` permutations simulated as min(md5(j:sh)):
-    * the classic "min of a random permutation" with the permutation keyed by a
-    * salt prefix. Output: (id, h0..h{numHashes-1}). */
+  /** MinHash signature via One-Permutation Hashing (Li, Owen, Zhang,
+    * "One Permutation Hashing", NIPS 2012): ONE digest per shingle — the hash
+    * space is partitioned into `numHashes` bins by the digest's first nibble
+    * and the signature is the per-bin minimum, instead of the classic k
+    * salted re-hashes. At 100 TB this is the difference between hashing the
+    * corpus once and hashing it k times, with the same collision-probability
+    * estimator. Empty bins (short documents) are densified by rotation —
+    * borrow the next non-empty bin's minimum, the standard fix from the
+    * follow-up densification literature — so signatures stay total.
+    * Output: (id, h0..h{numHashes-1}). */
   def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val binned = shingles
+      .select(col(idCol), md5(col("sh")).as("d"))
+      .select(col(idCol),
+        (expr("instr('0123456789abcdef', substring(d, 1, 1)) - 1") % numHashes).as("bin"),
+        expr("substring(d, 2, 31)").as("hv"))
     val mins = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
-    shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min(when(col("bin") === j, col("hv"))).as(s"r$j"))
+    val raw = binned.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    raw.select(col(idCol) +: (0 until numHashes).map(j =>
+      coalesce((0 until numHashes).map(i => col(s"r${(j + i) % numHashes}")): _*).as(s"h$j")): _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`

@@ -25,13 +25,21 @@ object LlmQueries {
       |FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i) gs
       |WHERE length(text) >= 5""".stripMargin
 
-  private val sqlSig8 =
-    """SELECT doc_id,
-      |  min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
-      |  min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
-      |  min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
-      |  min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
-      |FROM shingles GROUP BY doc_id""".stripMargin
+  // One-Permutation Hashing mirror of Dedup.minhashSignatures: one md5 per
+  // shingle, binned by first nibble mod 8, per-bin min, rotation densification
+  private val sqlSig8 = {
+    val mins = (0 to 7).map(j => s"min(CASE WHEN bin = $j THEN hv END) AS r$j").mkString(",\n  ")
+    val dense = (0 to 7).map(j =>
+      (0 to 7).map(i => s"r${(j + i) % 8}").mkString("coalesce(", ", ", s") AS h$j")).mkString(",\n  ")
+    s"""SELECT doc_id, $dense FROM (
+       |  SELECT doc_id, $mins
+       |  FROM (
+       |    SELECT doc_id,
+       |      (strpos('0123456789abcdef', substr(md5(sh), 1, 1)) - 1) % 8 AS bin,
+       |      substr(md5(sh), 2, 31) AS hv
+       |    FROM shingles) b
+       |  GROUP BY doc_id) r""".stripMargin
+  }
 
   private val sqlBands =
     """SELECT doc_id, 0 AS band, h0||h1 AS bv FROM sig UNION ALL

@@ -63,15 +63,18 @@ object RedisGraphCsv {
     case _ => when(col(s"`${f.name}`").isNull, lit("")).otherwise(col(s"`${f.name}`").cast("string"))
   }
 
-  /** Write a typed-header DataFrame as RedisGraph CSV text. */
+  /** Write a typed-header DataFrame as RedisGraph CSV text. The header line is
+    * prepended to EVERY partition (not union'd ahead of the body, whose
+    * placement would depend on partition ordering), so each produced part
+    * file leads with the header — valid for the loader in both the
+    * single-file and parallel multi-file layouts. */
   def write(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
     val header = df.columns.map(c => "\"" + c + "\"").mkString(",")
     val body = df.select(concat_ws(",", df.schema.fields.map(render).toIndexedSeq: _*).as("line"))
-    val withHeader = body.sparkSession.createDataset(Seq(header))(
-      org.apache.spark.sql.Encoders.STRING).toDF("line")
-      .unionByName(body)
-    val out = if (singleFile) withHeader.coalesce(1) else withHeader
-    out.write.mode("overwrite").text(path)
+      .as(org.apache.spark.sql.Encoders.STRING)
+    val out = if (singleFile) body.coalesce(1) else body
+    out.mapPartitions(it => Iterator(header) ++ it)(org.apache.spark.sql.Encoders.STRING)
+      .write.mode("overwrite").text(path)
   }
 
   /** Node-table export: rename + write (FormatNode, redisgraph.py:17-50). */

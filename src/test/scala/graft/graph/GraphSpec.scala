@@ -90,4 +90,20 @@ class GraphSpec extends AnyFunSuite {
     assert(lines.head === "\":START_ID(pkg)\",\":END_ID(req)\",\"kind:STRING\"")
     assert(lines(1) === "1,2,\"dep\"")
   }
+
+  test("RedisGraph CSV multi-file write: the header leads EVERY part file") {
+    val nodes = (1 to 40).map(i => (i.toLong, s"n$i")).toDF("node_id", "name").repartition(4)
+    val dir = Files.createTempDirectory("rg").toString + "/multi"
+    RedisGraphCsv.write(RedisGraphCsv.nodeHeader(nodes, "pkg"), dir, singleFile = false)
+    val parts = Files.list(Paths.get(dir)).toArray.map(_.toString).filter(_.endsWith(".txt"))
+    assert(parts.length > 1, "expected a multi-part write")
+    val header = "\":ID(pkg)\",\"name:STRING\""
+    parts.foreach { p =>
+      val lines = Files.readAllLines(Paths.get(p)).toArray.map(_.toString).toSeq
+      assert(lines.head === header, s"part $p does not lead with the header")
+    }
+    // and the union of bodies is the full table, once
+    val all = parts.flatMap(p => Files.readAllLines(Paths.get(p)).toArray.map(_.toString).toSeq.tail)
+    assert(all.length === 40)
+  }
 }
