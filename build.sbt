@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A long bench session executes >100 queries' worth of whole-stage-codegen
+  // classes; the JDK-17 default 240m reserved code cache fills up, the JIT
+  // stops compiling ("CodeCache is full. Compiler has been disabled."), and
+  // later CPU-bound queries run at interpreter speed. Headroom + flushing
+  // keeps the JIT alive for the whole run.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

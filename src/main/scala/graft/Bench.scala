@@ -29,6 +29,10 @@ object Bench {
     * without this, storage accumulated across ~50 warm-up queries evicts the
     * next query's checkpoints and its timed pass degrades several-fold. */
   private def cleanup(spark: SparkSession): Unit = {
+    // defensive: no query should leave a live stream, but a leaked one would
+    // keep writing state forever and skew every later measurement
+    spark.streams.active.foreach(_.stop())
+    spark.streams.resetTerminated()
     spark.catalog.clearCache()
     // localCheckpoint()ed RDDs are persisted RDDs whose blocks are only freed
     // when the async ContextCleaner gets to the dead references; across ~50

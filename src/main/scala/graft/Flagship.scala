@@ -67,12 +67,7 @@ object Flagship {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_flagship")
-    sys.addShutdownHook {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(work.toFile)
-    }
+    TempCleanup.deleteOnExit(work)
     val cat = new Catalog(spark, work.toString)
 
     // stage inputs by reference, not by copy (id -> external parquet)

@@ -195,16 +195,19 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val tE = System.nanoTime()
     val e = {
-      val s = edges.toDF("src", "dst")
-      // undirected: symmetrize once. Eager localCheckpoint, NOT persist():
-      // the loop references e every round, and a CacheManager persist is not
-      // reliably hit across the iteration jobs (observed: every round re-ran
-      // the full upstream pair-generation DAG, ~40s/round on a 255-edge
-      // graph whose actual propagation work is ~1s/round). Checkpointing
-      // materializes the edge set once and truncates the upstream lineage,
-      // so each round reads a few cached blocks regardless of how expensive
-      // the edge-producing pipeline was. Blocks are freed by the
+      // Checkpoint the RAW pairs first: the symmetrizing union below references
+      // its input twice, and without this the whole upstream edge-producing
+      // pipeline (e.g. the MinHash cascade) would run twice inside one job.
+      // Eager localCheckpoint, NOT persist(): the loop references e every
+      // round, and a CacheManager persist is not reliably hit across the
+      // iteration jobs (observed: every round re-ran the full upstream
+      // pair-generation DAG, ~40s/round on a 255-edge graph whose actual
+      // propagation work is ~1s/round). Checkpointing materializes the edge
+      // set once and truncates the upstream lineage; blocks are freed by the
       // ContextCleaner once the DataFrame is unreferenced.
+      val s = edges.toDF("src", "dst").localCheckpoint(true)
+      // undirected: symmetrize over the checkpointed blocks — the second
+      // checkpoint only re-reads those blocks, no upstream recompute.
       s.select(col("src"), col("dst"))
         .union(s.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()

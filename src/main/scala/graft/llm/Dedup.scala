@@ -31,6 +31,30 @@ object Dedup {
       .select(col(idCol), expr(s"substring($textCol, i, $k)").as("sh"))
       .distinct()
 
+  /** Per-document distinct shingle SET as ONE array column — no explode, no
+    * shuffle: `transform(sequence(...))` enumerates the k-gram positions and
+    * `array_distinct` dedups, all narrow per-row work. This replaces three
+    * full shuffles of the ~100×-exploded shingle rows (distinct, signature
+    * group-by, verify collect_set) with zero; only doc-level rows ever move.
+    * The input is still repartitioned by id first: a document table arrives in
+    * a handful of parquet splits and the per-row hashing downstream would
+    * otherwise grind in those few tasks. Output: (id, shs: array<string>). */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    // explicit partition count pins the exchange: AQE would coalesce a
+    // few-MB text shuffle to 1 partition and serialize the CPU-heavy
+    // per-row shingling/hashing that runs above it
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.filter(length(col(textCol)) >= k)
+      .repartition(n, col(idCol))
+      .select(col(idCol),
+        array_distinct(expr(
+          s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))")).as("shs"))
+      // second pinned exchange ABOVE the set build: every downstream consumer
+      // (signature build, both verify sides) reuses this one exchange's
+      // shuffle files instead of re-running the per-row set construction
+      .repartition(n, col(idCol))
+  }
+
   /** MinHash signature via One-Permutation Hashing (Li, Owen, Zhang,
     * "One Permutation Hashing", NIPS 2012): ONE digest per shingle — the hash
     * space is partitioned into `numHashes` bins by the digest's first nibble
@@ -106,17 +130,58 @@ object Dedup {
       .select("a", "b")
   }
 
+  /** Band + candidate + estimate in ONE pass: the signature array rides the
+    * band table, so the positional-agreement prefilter is computed inline in
+    * the bucket self-join — no separate [[estimateFilter]] re-joins of the
+    * signature table (two broadcast passes saved per pipeline run). Semantics
+    * are identical: count of agreeing signature positions ≥ `minMatches`.
+    * The carried signature is `numHashes` fixed-width strings (~250 bytes) per
+    * band row — constant weight per row, safe in the bucket shuffle at scale. */
+  def lshCandidatesWithEstimate(sig: DataFrame, idCol: String, bands: Int,
+                                rowsPerBand: Int, minMatches: Int,
+                                maxBucketSize: Int = 0): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val bandStructs = (0 until bands).map { b =>
+      val bv = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), bv.as("bv"))
+    }
+    val bandTable = sig.select(
+      col(idCol),
+      array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"),
+      explode(array(bandStructs: _*)).as("x"))
+      .select(col(idCol), col("sig"), col("x.band").as("band"), col("x.bv").as("bv"))
+    val b =
+      if (maxBucketSize <= 0) bandTable
+      else {
+        val ok = bandTable.groupBy("band", "bv").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize).drop("__n")
+        bandTable.join(ok, Seq("band", "bv"), "left_semi")
+      }
+    val l = b.select(col("band"), col("bv"), col(idCol).as("a"), col("sig").as("sa"))
+    val r = b.select(col("band"), col("bv"), col(idCol).as("b"), col("sig").as("sb"))
+    val matches = expr("aggregate(zip_with(sa, sb, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)")
+    l.join(r, Seq("band", "bv"))
+      .filter(col("a") < col("b") && matches >= lit(minMatches))
+      .select("a", "b")
+      .distinct()
+  }
+
   /** Verify candidates with the true shingle Jaccard (LSH recalls candidates;
     * the verify pass removes false positives). Each doc's shingle set rides as
     * one array, so per-candidate cost is O(|set_a| + |set_b|) in a single row —
     * NOT an exploded join (candidates × shingles would be 10⁸ intermediate rows
     * at sf0.1 and worse at scale). */
-  def verifiedJaccard(cand: DataFrame, shingleTable: DataFrame, idCol: String): DataFrame = {
-    val sets = shingleTable.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs"))
+  def verifiedJaccard(cand: DataFrame, shingleTable: DataFrame, idCol: String): DataFrame =
+    verifiedJaccardFromSets(cand,
+      shingleTable.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs")), idCol)
+
+  /** As [[verifiedJaccard]] but over pre-built per-doc shingle-set arrays
+    * ([[shingleSets]] shape: (id, shs)). */
+  def verifiedJaccardFromSets(cand: DataFrame, docSets: DataFrame, idCol: String): DataFrame = {
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
-      .join(sets.select(col(idCol).as("a"), col("shs").as("sa")), "a")
-      .join(sets.select(col(idCol).as("b"), col("shs").as("sb")), "b")
+      .join(docSets.select(col(idCol).as("a"), col("shs").as("sa")), "a")
+      .join(docSets.select(col(idCol).as("b"), col("shs").as("sb")), "b")
       .select(col("a"), col("b"),
         (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter).cast("double")).as("jaccard"))
   }
@@ -130,14 +195,21 @@ object Dedup {
                       threshold: Double = 0.9, minEstMatches: Int = -1): DataFrame = {
     val minM = if (minEstMatches >= 0) minEstMatches
                else math.ceil((threshold - 0.15) * numHashes).toInt
-    // sh feeds signatures + verify, sig feeds bands + estimate: materialize
-    // each once (eager local checkpoint) instead of recomputing the explode
-    // and 8-way MD5 aggregation for every consumer
-    val sh = shingles(df, textCol, idCol, k).localCheckpoint(true)
-    val sig = minhashSignatures(sh, idCol, numHashes).localCheckpoint(true)
-    val cand = lshCandidates(lshBands(sig, idCol, bands, numHashes / bands), idCol)
-    val pruned = estimateFilter(cand, sig, idCol, numHashes, minM)
-    verifiedJaccard(pruned, sh, idCol).filter(col("jaccard") >= threshold)
+    // ONE job, zero checkpoints: `sets` ends in a pinned exchange that the
+    // signature build and both verify sides reuse (Catalyst ReuseExchange —
+    // identical canonicalized subplans materialize once as shuffle files,
+    // which also beats localCheckpoint at scale: disk-backed, no executor
+    // memory pressure, no driver sync point per stage). The signature build
+    // explodes FROM the reused sets exchange so the md5 + 8-way min
+    // aggregation stays codegen'd, and its groupBy shuffles only the
+    // map-side-combined partial mins (8 values per doc per partition), never
+    // the exploded shingle rows; that groupBy exchange is in turn reused by
+    // both sides of the fused band+estimate self-join.
+    val sets = shingleSets(df, textCol, idCol, k)
+    val sig = minhashSignatures(sets.select(col(idCol), explode(col("shs")).as("sh")),
+      idCol, numHashes)
+    val pruned = lshCandidatesWithEstimate(sig, idCol, bands, numHashes / bands, minM)
+    verifiedJaccardFromSets(pruned, sets, idCol).filter(col("jaccard") >= threshold)
   }
 
   /** 16-bit SimHash over whitespace tokens: per bit, majority vote of the

@@ -56,6 +56,13 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // Copy the result OUT of the memory sink and drop the sink table at once:
+    // sink tables pin their rows on the driver for the session's lifetime, and
+    // a bench loop calling this repeatedly would accumulate one per call. The
+    // checkpointed copy lives in unpersist-able RDD blocks instead.
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    out
   }
 }
