@@ -51,6 +51,14 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A 110-execution session accumulates status-store state (job/stage/
+      // task/SQL-execution records incl. full plan strings) that the listener
+      // bus must keep maintaining; bound it so late queries aren't measured
+      // on an aged driver.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1,0 +1,87 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Off-toy scale proof for the dedup cascade (round-3 verdict stretch item):
+  * synthesize a corpus `SCALE_COPIES`× the sf0.1 documents table with a
+  * controlled near-dup rate, run MinHash+LSH+CC end-to-end, and report wall
+  * times plus a straggler ratio (max/median task duration over non-trivial
+  * tasks) — the bucket caps and partitioning hold only if no task runs away.
+  *
+  * Corpus construction (pure SQL, distributed): copy 0 is the original; one
+  * copy in ten mutates a single token (a true near-dup the cascade must
+  * recall); all other copies replace every fifth token with a digest (unique
+  * documents — they must NOT pair). Run with e.g.:
+  *   SCALE_COPIES=20  → 100k docs;  SCALE_COPIES=100 → 500k docs.
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val copies = sys.env.getOrElse("SCALE_COPIES", "20").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val durations = new ConcurrentLinkedQueue[java.lang.Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        durations.add(te.taskInfo.duration); ()
+      }
+    })
+
+    // --- build the scaled corpus and persist it like a real input table ---
+    val work = java.nio.file.Files.createTempDirectory("graft_scale")
+    TempCleanup.deleteOnExit(work)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scaled = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .crossJoin(spark.range(copies).select(col("id").as("i")))
+      .repartition(n, col("doc_id"), col("i"))
+      .select(
+        (col("doc_id") * 1000 + col("i")).as("doc_id"),
+        expr("""CASE
+             |  WHEN i = 0 THEN text
+             |  WHEN i % 10 = 1 THEN concat('m', i, substring(text, 2))
+             |  ELSE concat_ws(' ', transform(split(text, ' '),
+             |         (w, j) -> CASE WHEN (j + i) % 5 = 0
+             |                        THEN substring(md5(concat(w, '_', i)), 1, 6)
+             |                        ELSE w END))
+             |END""".stripMargin).as("text"))
+    scaled.write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val docs = spark.read.parquet(s"$work/documents.parquet")
+    val nDocs = docs.count()
+
+    durations.clear()
+    val t0 = System.nanoTime()
+    val pairs = graft.llm.Dedup.minhashNearDups(docs, "text", "doc_id",
+      k = 5, numHashes = 8, bands = 4, threshold = 0.9)
+    val nPairs = pairs.count()
+    val pairsSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val clusters = graft.er.ConnectedComponents.clusterMapping(
+      graft.llm.Dedup.minhashNearDups(docs, "text", "doc_id",
+        k = 5, numHashes = 8, bands = 4, threshold = 0.9).select("a", "b"))
+    val nClustered = clusters.count()
+    val ccSec = (System.nanoTime() - t1) / 1e9
+
+    // straggler ratio over non-trivial tasks (≥ 200 ms): max/median
+    val ts = durations.toArray(Array.empty[java.lang.Long]).map(_.toLong).filter(_ >= 200).sorted
+    val straggler =
+      if (ts.isEmpty) 1.0 else ts.last.toDouble / ts(ts.length / 2).toDouble
+
+    println(s"""{"metric":"scale_dedup","copies":$copies,"docs":$nDocs,"pairs":$nPairs,""" +
+      s""""clustered_docs":$nClustered,"pairs_sec":$pairsSec,"cc_sec":$ccSec,""" +
+      s""""tasks":${ts.length},"straggler_ratio":$straggler}""")
+    spark.stop()
+  }
+}

@@ -67,6 +67,33 @@ object Similarity {
       Seq(col("cos").desc, col("match_id").asc), k)
   }
 
+  /** Multi-probe LSH top-k: each query probes its own sign bucket PLUS every
+    * 1-bit-flip neighbor bucket (`planes` + 1 probes) — the standard recall
+    * fix for bucketed LSH (multi-probe LSH, Lv et al., VLDB 2007: near
+    * neighbors that fall just across one hyperplane land in a bucket at
+    * Hamming distance 1). Candidates are a strict superset of [[bucketTopK]]'s
+    * (probe-1 is one of the probes), so recall can only improve; cost is
+    * bounded at (planes+1)× the probe-1 candidate set — still an equi-join on
+    * the bucket key, no full scan. A (query, match) pair arises via at most
+    * one probe (a corpus vector has exactly one bucket; the probe set is
+    * distinct), so no dedup step is needed. */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, planes: Int, k: Int): DataFrame = {
+    val probeBuckets = {
+      val own = signBucket(col(embCol), planes)
+      explode(array(own +: (0 until planes).map(i => own.bitwiseXOR(lit(1L << i))): _*))
+    }
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"),
+      probeBuckets.as("bucket"))
+    val c = corpus.select(col(idCol).as("match_id"), quantize(col(embCol)).as("cv"),
+      signBucket(col(embCol), planes).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"), qcosine(col("qv"), col("cv")).as("cos"))
+    graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("match_id").asc), k)
+  }
+
   /** IVF-style ANN: a coarse quantizer (the first `nLists` vectors act as
     * deterministic seed centroids) partitions the corpus into inverted lists;
     * each query probes ONLY its own list. Against brute force this divides the

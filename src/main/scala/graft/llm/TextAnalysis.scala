@@ -72,9 +72,18 @@ object TextAnalysis {
 
   /** Document fingerprint: min MD5 over character 8-grams — a deterministic
     * rolling-hash content fingerprint (winnowing with window = whole doc).
-    * Equal fingerprints ⇒ shared rare substring; cheap first-pass clustering. */
-  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    Dedup.shingles(df, textCol, idCol, 8)
-      .groupBy(col(idCol))
-      .agg(min(md5(col("sh"))).as("fingerprint"))
+    * Equal fingerprints ⇒ shared rare substring; cheap first-pass clustering.
+    *
+    * Computed narrowly per row (`array_min` over the transformed position
+    * range — a min needs no dedup and no groupBy), so the only movement is
+    * the pinned repartition that spreads the per-row hashing out of the
+    * table's few parquet splits; nothing shuffles afterwards. */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.filter(length(col(textCol)) >= 8)
+      .repartition(n, col(idCol))
+      .select(col(idCol),
+        expr(s"array_min(transform(sequence(1, length($textCol) - 7), i -> md5(substring($textCol, i, 8))))")
+          .as("fingerprint"))
+  }
 }

@@ -116,6 +116,13 @@ object LlmQueries {
         planes = 8, k = 5)
     }),
 
+    // multi-probe LSH top-5: own bucket + all 1-bit-flip neighbor buckets
+    "q_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.multiProbeTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        planes = 8, k = 5)
+    }),
+
     // IVF-style top-5: 16 seed centroids -> inverted lists -> probe own list
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -256,6 +263,18 @@ object LlmQueries {
          |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
          |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_ann_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv, $sqlBucket AS bucket FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv,
+         |    unnest([bucket] || list_transform(generate_series(0, 7), i -> xor(bucket, 1::BIGINT << i))) AS bucket
+         |  FROM v WHERE vec_id < 10)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT q.query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
+         |  FROM probes q JOIN v c ON q.bucket = c.bucket AND q.query_id <> c.vec_id) s
          |WHERE rn <= 5""".stripMargin,
 
     "q_ann_ivf" ->

@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable external-source layer (SURVEY §2.2 S8/S9) — the reference
+  * pipeline *starts* from HTTP sources: an HTML index page listing the key
+  * universe (trigger.py:28-52) and a per-key JSON endpoint fetched with
+  * ETag-conditional GETs and bounded retries (crawl.py:57-91,195-227).
+  *
+  * The HTTP status contract is reproduced exactly; the transport is a trait so
+  * the zero-egress environment (and any test) swaps in a local-FS mock while a
+  * production deployment plugs a real HTTP client into the same interface:
+  *
+  *  - 200 → [[Fetch.Ok]] new content + new etag,
+  *  - 304 → [[Fetch.NotModified]] (conditional GET matched; keep the cache),
+  *  - 404 → [[Fetch.Gone]] (skip new keys; cached record survives, as in the
+  *    reference where only 200 responses overwrite the snapshot),
+  *  - connection error → [[Fetch.TransientError]], retried up to
+  *    `maxRetries` times with a sleep (crawl.py RETRIES_COUNT=3).
+  *
+  * Scale design: [[Crawl.incremental]] is the reference's Downloader+Updator
+  * as ONE dataflow — the key universe joins the previous snapshot to split
+  * new vs known keys, fetches run executor-side via `mapPartitions` (the
+  * reference's ThreadPoolExecutor chunking maps to partitions — 1000
+  * executors = 1000 crawl workers), and only 200-responses shuffle; the
+  * merged snapshot is written once per run.
+  */
+sealed trait Fetch
+object Fetch {
+  /** HTTP 200: fresh content + its etag. */
+  final case class Ok(content: String, etag: String) extends Fetch
+  /** HTTP 304: the conditional GET matched the supplied etag. */
+  case object NotModified extends Fetch
+  /** HTTP 404: the key no longer exists upstream. */
+  case object Gone extends Fetch
+  /** Connection-level failure — retryable (crawl.py ConnectionError path). */
+  final case class TransientError(msg: String) extends Fetch
+}
+
+/** A keyed external source. Implementations must be serializable: `fetch`
+  * runs on executors. */
+trait Source extends Serializable {
+  /** The key universe (the reference's HTML-index trigger). */
+  def list(): Seq[String]
+  /** Conditional fetch: `etag` from the previous crawl, if any. */
+  def fetch(key: String, etag: Option[String]): Fetch
+}
+
+/** Local-filesystem Source: key → `$baseDir/$key$ext`, etag = MD5 of the
+  * bytes (a strong content ETag, like PyPI's). Missing file → Gone. This is
+  * the offline mock of the reference's HTTP endpoints — same contract, no
+  * network. */
+final case class LocalFsSource(baseDir: String, ext: String = ".json") extends Source {
+
+  def list(): Seq[String] = {
+    val d = new java.io.File(baseDir)
+    Option(d.list()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.endsWith(ext)).map(_.stripSuffix(ext)).sorted
+  }
+
+  def fetch(key: String, etag: Option[String]): Fetch = {
+    val p = Paths.get(baseDir, key + ext)
+    if (!Files.exists(p)) Fetch.Gone
+    else {
+      val content = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(content.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      if (etag.contains(digest)) Fetch.NotModified else Fetch.Ok(content, digest)
+    }
+  }
+}
+
+/** The crawl dataflow over a [[Source]]. Snapshot schema matches the
+  * reference's `latest` table: (name, latest, etag) (crawl.py:54-80). */
+object Crawl {
+
+  /** Trigger stage: the source's key universe as a one-column DataFrame
+    * (PyPiNameTrigger, trigger.py:28-52 — list() stands in for the HTML
+    * scrape; a production HTML source implements list() by parsing hrefs). */
+  def trigger(spark: SparkSession, source: Source): DataFrame = {
+    import spark.implicits._
+    source.list().toDF("name")
+  }
+
+  /** Executor-side fetch with the reference's bounded retry loop
+    * (call_api / _update_with_etag, crawl.py:84-91,195-227). Exhausted
+    * retries throw — a crawl that cannot reach its source must fail the run,
+    * not silently emit a partial snapshot. */
+  private def fetchWithRetry(source: Source, key: String, etag: Option[String],
+                             maxRetries: Int, retrySleepMs: Long): Fetch = {
+    var attempt = 0
+    while (true) {
+      source.fetch(key, etag) match {
+        case Fetch.TransientError(msg) =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new RuntimeException(s"fetch '$key' failed after $maxRetries retries: $msg")
+          Thread.sleep(retrySleepMs)
+        case other => return other
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Download brand-new keys (LatestDownloader, crawl.py:57-80): plain GET,
+    * 404s skipped, anything else must be 200. */
+  def fetchNew(keys: DataFrame, source: Source,
+               maxRetries: Int = 3, retrySleepMs: Long = 0L): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    keys.select(col("name").cast("string")).as[String]
+      .repartition(n) // spread I/O-bound fetches; a key list arrives in one split
+      .mapPartitions { it =>
+        it.flatMap { key =>
+          fetchWithRetry(source, key, None, maxRetries, retrySleepMs) match {
+            case Fetch.Ok(content, etag) => Some((key, content, etag))
+            case Fetch.Gone => None
+            case other => throw new RuntimeException(s"unexpected $other for unconditional fetch '$key'")
+          }
+        }
+      }
+      .toDF("name", "latest", "etag")
+  }
+
+  /** One incremental crawl round (Downloader + Updator fused): conditional-
+    * GET every key in the previous snapshot — the reference updates from the
+    * CACHE's name list, not the trigger's (crawl.py:123-127), so keys that
+    * left the index are still probed and a 404/304 keeps their cached row —
+    * plain-GET the trigger keys not yet in the snapshot, and merge 200-rows
+    * over the previous snapshot keep-first (crawl.py:133-153 concat +
+    * drop_duplicates keep='first'). The snapshot is never pruned. */
+  def incremental(keys: DataFrame, state: Option[DataFrame], source: Source,
+                  maxRetries: Int = 3, retrySleepMs: Long = 0L): DataFrame =
+    state match {
+      case None => fetchNew(keys, source, maxRetries, retrySleepMs)
+      case Some(cache) =>
+        val spark = keys.sparkSession
+        import spark.implicits._
+        val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val known = cache.select(col("name").cast("string"), col("etag").cast("string"))
+        val updated = known.as[(String, String)]
+          .repartition(n)
+          .mapPartitions { it =>
+            it.flatMap { case (key, etag) =>
+              fetchWithRetry(source, key, Some(etag), maxRetries, retrySleepMs) match {
+                case Fetch.Ok(content, newEtag) => Some((key, content, newEtag))
+                case Fetch.NotModified => None
+                case Fetch.Gone => None // cached row survives via the merge
+                case other => throw new RuntimeException(s"unexpected $other for '$key'")
+              }
+            }
+          }
+          .toDF("name", "latest", "etag")
+        val newRows = fetchNew(
+          keys.select(col("name")).join(cache, Seq("name"), "left_anti"),
+          source, maxRetries, retrySleepMs)
+        graft.ops.Incremental.mergeKeepFirst(
+          updated.unionByName(newRows), cache, Seq("name"))
+    }
+}
+
+/** S8/S9 as an engine node: trigger + incremental crawl + snapshot merge in
+  * one [[graft.engine.EtlNode]]. `doCache` is forced on — the cache snapshot
+  * of `outputId` is the state the NEXT run diffs against, exactly the
+  * reference's `make_cache=True` on LatestUpdator (crawl.py:96-101). */
+class CrawlNode(
+    override val name: String,
+    source: Source,
+    outputId: String,
+    maxRetries: Int = 3,
+    retrySleepMs: Long = 0L)
+  extends graft.engine.EtlNode {
+
+  val inputIds: Seq[String] = Seq.empty
+  val outputIds: Seq[String] = Seq(outputId)
+  override def doCache: Boolean = true
+
+  def run(cat: graft.engine.Catalog): Unit = {
+    val keys = Crawl.trigger(cat.spark, source)
+    val state = if (cat.existsCache(outputId)) Some(cat.loadCache(outputId)) else None
+    cat.write(Crawl.incremental(keys, state, source, maxRetries, retrySleepMs), outputId)
+  }
+}

@@ -67,6 +67,19 @@ class LlmSpec extends AnyFunSuite {
     assert(out === Seq(1L, 2L, 3L)) // similar, orthogonal, opposite
   }
 
+  test("multi-probe recalls across one flipped hyperplane; candidates are a superset of probe-1") {
+    // 0 and 1 agree on every axis sign; 4 differs from 0 only in the sign of
+    // dim 2 (one hyperplane) -> missed by probe-1, recalled by multi-probe
+    val withBoundary = vecs.union(Seq((4L, Array(0.9f, 0.1f, -0.05f))).toDF("vec_id", "embedding"))
+    val queries = withBoundary.filter(col("vec_id") === 0)
+    def matches(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("match_id").as[Long].collect().toSet
+    val probe1 = matches(Similarity.bucketTopK(withBoundary, queries, "vec_id", "embedding", planes = 3, k = 5))
+    val multi = matches(Similarity.multiProbeTopK(withBoundary, queries, "vec_id", "embedding", planes = 3, k = 5))
+    assert(probe1.subsetOf(multi), "multi-probe must never lose a probe-1 match")
+    assert(!probe1.contains(4L) && multi.contains(4L), "1-bit neighbor recalled only by multi-probe")
+  }
+
   test("sign-bucket LSH co-buckets aligned vectors and separates opposites") {
     val b = vecs.select(col("vec_id"), Similarity.signBucket(col("embedding"), 3).as("bk"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,64 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** S11: the bulk-load invocation contract (reference run_ingest.py:4-16) —
+  * command assembly over the S7 CSV export layout, runner injected. */
+class BulkLoadSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def touch(dir: Path, name: String): Unit = {
+    Files.write(dir.resolve(name), "x".getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  test("command discovers node_/link_ files sorted and carries the reference flags") {
+    val dir = Files.createTempDirectory("graft_rg")
+    touch(dir, "node_customer")
+    touch(dir, "link_has_license")
+    touch(dir, "node_license")
+    touch(dir, "ignored.txt")
+    val cmd = RedisGraphBulkLoad.command(dir.toString, "redis://localhost:9001", "PYPI")
+    assert(cmd.take(7) === Seq("redisgraph-bulk-insert", "-u", "redis://localhost:9001", "PYPI",
+      "--enforce-schema", "--skip-invalid-nodes", "--skip-invalid-edges"))
+    assert(cmd.drop(7) === Seq(
+      "--nodes", s"$dir/node_customer",
+      "--nodes", s"$dir/node_license",
+      "--relations", s"$dir/link_has_license"))
+  }
+
+  test("run hands the argv to the injected runner and enforces exit code 0") {
+    val dir = Files.createTempDirectory("graft_rg")
+    touch(dir, "node_a")
+    var seen: Seq[String] = Seq.empty
+    val rc = RedisGraphBulkLoad.run(dir.toString, "redis://h:1", "G") { argv =>
+      seen = argv; 0
+    }
+    assert(rc === 0)
+    assert(seen.containsSlice(Seq("--nodes", s"$dir/node_a")))
+    intercept[IllegalArgumentException] {
+      RedisGraphBulkLoad.run(dir.toString, "redis://h:1", "G")(_ => 1)
+    }
+  }
+
+  test("end-to-end: S7 CSV export of a real DataFrame feeds the S11 command") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rg_e2e")
+    val nodes = Seq(("n1", "alpha", 3L), ("n2", "be\"ta", 5L)).toDF("node_id", "name", "cnt")
+    // write under the node_ prefix the loader scan expects
+    RedisGraphCsv.writeNodes(nodes, "customer", s"$dir/node_customer")
+    val cmd = RedisGraphBulkLoad.command(dir.toString, "redis://localhost:9001", "G")
+    assert(cmd.containsSlice(Seq("--nodes", s"$dir/node_customer")))
+    // the exported part file leads with the typed header and quotes strings
+    val part = Files.list(dir.resolve("node_customer")).toArray.map(_.toString)
+      .filter(_.contains("part-")).head
+    val lines = scala.io.Source.fromFile(part).getLines().toSeq
+    assert(lines.head === "\":ID(customer)\",\"name:STRING\",\"cnt:INTEGER\"")
+    assert(lines.exists(_.contains("\"be\\\"ta\"")))
+  }
+}
