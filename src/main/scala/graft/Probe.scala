@@ -3,32 +3,60 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch repetition probe: does re-running the same query degrade in-session? */
+/** Scratch diagnostic: bucket-size distribution + candidate volume of the
+  * MinHash cascade on a scaled corpus. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val which = sys.env.getOrElse("PROBE_Q", "q_dedup_clusters")
-    val rounds = sys.env.getOrElse("PROBE_N", "6").toInt
+    val copies = sys.env.getOrElse("SCALE_COPIES", "20").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import graft.llm.Dedup
 
-    val fn = SparkEntry.queries(which)
-    (1 to rounds).foreach { round =>
-      val t0 = System.nanoTime()
-      val df = fn(spark, dir)
-      val cols = df.columns.map(c => col(s"`$c`").cast("string"))
-      df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).collect()
-      System.err.println(f"[probe] $which round $round ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      spark.streams.active.foreach(_.stop())
-      spark.streams.resetTerminated()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      System.gc()
+    val n = 32
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .crossJoin(spark.range(copies).select(col("id").as("i")))
+      .repartition(n, col("doc_id"), col("i"))
+      .select(
+        (col("doc_id") * 1000 + col("i")).as("doc_id"),
+        expr("""CASE
+             |  WHEN i = 0 THEN text
+             |  WHEN i % 10 = 1 THEN concat('m', i, substring(text, 2))
+             |  ELSE concat_ws(' ', transform(split(text, ' '),
+             |         (w, j) -> CASE WHEN (j + i) % 5 = 0
+             |                        THEN substring(md5(concat(w, '_', i)), 1, 6)
+             |                        ELSE w END))
+             |END""".stripMargin).as("text"))
+      .localCheckpoint(true)
+
+    val sets = Dedup.shingleSets(docs, "text", "doc_id", 5).localCheckpoint(true)
+    val sig = Dedup.minhashSignatures(
+      sets.select(col("doc_id"), explode(col("shs")).as("sh")), "doc_id", 8).localCheckpoint(true)
+
+    val bandStructs = (0 until 4).map { b =>
+      val bv = concat(col(s"h${b * 2}"), col(s"h${b * 2 + 1}"))
+      struct(lit(b).as("band"), bv.as("bv"))
     }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+      .localCheckpoint(true)
+
+    val sizes = bands.groupBy("band", "bv").agg(count(lit(1)).as("sz")).localCheckpoint(true)
+    System.err.println("[probe] bucket size distribution (top 10):")
+    sizes.orderBy(desc("sz")).limit(10).collect()
+      .foreach(r => System.err.println(s"[probe]   band=${r.get(0)} sz=${r.get(2)}"))
+    val stats = sizes.agg(
+      count(lit(1)).as("buckets"),
+      sum(col("sz") * col("sz")).as("sum_sq")).first()
+    System.err.println(s"[probe] buckets=${stats.get(0)} sum_sq(pair work)=${stats.get(1)}")
+    val capped = sizes.filter(col("sz") <= 50)
+      .agg(sum(col("sz") * col("sz"))).first()
+    System.err.println(s"[probe] pair work with cap 50: ${capped.get(0)}")
     spark.stop()
   }
 }

@@ -31,10 +31,10 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val durations = new ConcurrentLinkedQueue[java.lang.Long]()
+    val durations = new ConcurrentLinkedQueue[(Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        durations.add(te.taskInfo.duration); ()
+        durations.add((te.stageId, te.taskInfo.duration)); ()
       }
     })
 
@@ -62,26 +62,41 @@ object ScaleBench {
 
     durations.clear()
     val t0 = System.nanoTime()
+    // Scale parameterization, measured on this corpus at 100k docs:
+    //  - the toy 8-hash/2-row-band setup (the sf0.1 oracle config) collides
+    //    bands with probability J^2 - ordinary vocabulary overlap (J~0.5)
+    //    produced stop-shingle buckets of up to 7476 docs and 419M candidate
+    //    pair-rows; 16 hashes with 4-row bands (J^4) keeps buckets sharp;
+    //  - maxBucketSize is the skew backstop for whatever hot keys remain.
+    val numHashes = sys.env.getOrElse("SCALE_HASHES", "16").toInt
+    val cap = sys.env.getOrElse("SCALE_BUCKET_CAP", "64").toInt
+    // checkpoint the pair set so the CC timing below measures CC alone, not a
+    // second run of the cascade
     val pairs = graft.llm.Dedup.minhashNearDups(docs, "text", "doc_id",
-      k = 5, numHashes = 8, bands = 4, threshold = 0.9)
+      k = 5, numHashes = numHashes, bands = 4, threshold = 0.9, maxBucketSize = cap)
+      .localCheckpoint(true)
     val nPairs = pairs.count()
     val pairsSec = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val clusters = graft.er.ConnectedComponents.clusterMapping(
-      graft.llm.Dedup.minhashNearDups(docs, "text", "doc_id",
-        k = 5, numHashes = 8, bands = 4, threshold = 0.9).select("a", "b"))
+    val clusters = graft.er.ConnectedComponents.clusterMapping(pairs.select("a", "b"))
     val nClustered = clusters.count()
     val ccSec = (System.nanoTime() - t1) / 1e9
 
-    // straggler ratio over non-trivial tasks (≥ 200 ms): max/median
-    val ts = durations.toArray(Array.empty[java.lang.Long]).map(_.toLong).filter(_ >= 200).sorted
+    // straggler ratio per STAGE (max/median within a stage), worst over
+    // parallel stages with ≥ 8 non-trivial tasks — the skew signal that
+    // matters at scale; a cross-stage ratio only compares unlike work
+    val byStage = durations.toArray(Array.empty[(Int, Long)])
+      .groupBy(_._1).values.map(_.map(_._2).filter(_ >= 200).sorted)
+      .filter(_.length >= 8)
     val straggler =
-      if (ts.isEmpty) 1.0 else ts.last.toDouble / ts(ts.length / 2).toDouble
+      if (byStage.isEmpty) 1.0
+      else byStage.map(ts => ts.last.toDouble / ts(ts.length / 2).toDouble).max
+    val nTasks = durations.size
 
     println(s"""{"metric":"scale_dedup","copies":$copies,"docs":$nDocs,"pairs":$nPairs,""" +
       s""""clustered_docs":$nClustered,"pairs_sec":$pairsSec,"cc_sec":$ccSec,""" +
-      s""""tasks":${ts.length},"straggler_ratio":$straggler}""")
+      s""""tasks":$nTasks,"straggler_ratio":$straggler}""")
     spark.stop()
   }
 }

@@ -192,7 +192,8 @@ object Dedup {
     * minus slack for estimator variance); exact Jaccard ≥ `threshold` decides. */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 5, numHashes: Int = 8, bands: Int = 4,
-                      threshold: Double = 0.9, minEstMatches: Int = -1): DataFrame = {
+                      threshold: Double = 0.9, minEstMatches: Int = -1,
+                      maxBucketSize: Int = 0): DataFrame = {
     val minM = if (minEstMatches >= 0) minEstMatches
                else math.ceil((threshold - 0.15) * numHashes).toInt
     // ONE job, zero checkpoints: `sets` ends in a pinned exchange that the
@@ -208,7 +209,7 @@ object Dedup {
     val sets = shingleSets(df, textCol, idCol, k)
     val sig = minhashSignatures(sets.select(col(idCol), explode(col("shs")).as("sh")),
       idCol, numHashes)
-    val pruned = lshCandidatesWithEstimate(sig, idCol, bands, numHashes / bands, minM)
+    val pruned = lshCandidatesWithEstimate(sig, idCol, bands, numHashes / bands, minM, maxBucketSize)
     verifiedJaccardFromSets(pruned, sets, idCol).filter(col("jaccard") >= threshold)
   }
 
