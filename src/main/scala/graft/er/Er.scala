@@ -207,10 +207,12 @@ object ConnectedComponents {
       // ContextCleaner once the DataFrame is unreferenced.
       val s = edges.toDF("src", "dst").localCheckpoint(true)
       // undirected: symmetrize over the checkpointed blocks — the second
-      // checkpoint only re-reads those blocks, no upstream recompute.
+      // checkpoint only re-reads those blocks, no upstream recompute. No
+      // distinct(): the per-round min aggregate absorbs duplicate edges and
+      // self-loops, so deduping here would spend a full shuffle to save
+      // nothing downstream.
       s.select(col("src"), col("dst"))
         .union(s.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
         .localCheckpoint(true)
     }
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")

@@ -70,6 +70,31 @@ object TextAnalysis {
       :+ best.getField("score").as("lang_score"): _*)
   }
 
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1 quality
+    * filters): duplicate word-bigram fraction and most-frequent-token
+    * fraction — the standard signals for removing boilerplate/spam from
+    * training corpora. All narrow per-row array work (no explode, no
+    * shuffle); every ratio is a single division of exact ints, so a SQL
+    * oracle reproduces it bit-exactly. Documents with < 2 tokens are
+    * excluded (no bigram universe). */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col(idCol),
+        expr("transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))").as("bg"),
+        col("toks"))
+      .select(
+        col(idCol),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        ((size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+          size(col("bg")).cast("double")).as("dup_bigram_frac"),
+        (expr("array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))").cast("double") /
+          size(col("toks")).cast("double")).as("top_token_frac"))
+  }
+
   /** Document fingerprint: min MD5 over character 8-grams — a deterministic
     * rolling-hash content fingerprint (winnowing with window = whole doc).
     * Equal fingerprints ⇒ shared rare substring; cheap first-pass clustering.

@@ -151,6 +151,10 @@ object LlmQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Gopher-style repetition filters: dup-bigram + top-token fractions
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")),
+
     // multimodal plumbing: binary payload -> distributed (stub) decode -> meta
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
@@ -329,6 +333,21 @@ object LlmQueries {
         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-7)) AS i) gs
         |  WHERE length(text) >= 8) s
         |GROUP BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) AS dup_bigram_frac,
+        |  CAST(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS top_token_frac
+        |FROM b""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT id, n_bytes, digest, checksum,

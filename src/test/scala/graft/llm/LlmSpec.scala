@@ -98,6 +98,17 @@ class LlmSpec extends AnyFunSuite {
     assert(q(1L) > q(2L))
   }
 
+  test("repetition stats: duplicate bigrams and top-token dominance, exact fractions") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab -> 5 total, 2 distinct; top token a: 3/6
+      (2L, "w x y z")        // all unique bigrams; every token 1/4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((5L, 3.0 / 5.0, 3.0 / 6.0)))
+    assert(out(2L) === ((3L, 0.0, 1.0 / 4.0)))
+  }
+
   test("langId picks the profile with the most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),
