@@ -18,21 +18,7 @@ object Probe {
     import graft.llm.Dedup
 
     val n = 32
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      .crossJoin(spark.range(copies).select(col("id").as("i")))
-      .repartition(n, col("doc_id"), col("i"))
-      .select(
-        (col("doc_id") * 1000 + col("i")).as("doc_id"),
-        expr("""CASE
-             |  WHEN i = 0 THEN text
-             |  WHEN i % 10 = 1 THEN concat('m', i, substring(text, 2))
-             |  ELSE concat_ws(' ', transform(split(text, ' '),
-             |         (w, j) -> CASE WHEN (j + i) % 5 = 0
-             |                        THEN substring(md5(concat(w, '_', i)), 1, 6)
-             |                        ELSE w END))
-             |END""".stripMargin).as("text"))
-      .localCheckpoint(true)
+    val docs = ScaleCorpus.build(spark, sfDir, copies, n).localCheckpoint(true)
 
     val sets = Dedup.shingleSets(docs, "text", "doc_id", 5).localCheckpoint(true)
     val sig = Dedup.minhashSignatures(

@@ -91,7 +91,17 @@ object TextAnalysis {
         size(col("bg")).cast("long").as("n_bigrams"),
         ((size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
           size(col("bg")).cast("double")).as("dup_bigram_frac"),
-        (expr("array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))").cast("double") /
+        // max token frequency in ONE pass: longest run in a sorted copy —
+        // O(L log L) per doc, vs a filter per distinct token (O(L²): a single
+        // 100k-token doc would stall its task). The '' seed can't corrupt the
+        // count: an actual leading '' token takes the t = acc.prev branch with
+        // run 0 + 1 = 1, exactly the fresh-run value.
+        (expr("""aggregate(array_sort(toks), named_struct('prev', '', 'run', 0, 'best', 0),
+                 (acc, t) -> named_struct(
+                   'prev', t,
+                   'run',  IF(t = acc.prev, acc.run + 1, 1),
+                   'best', greatest(acc.best, IF(t = acc.prev, acc.run + 1, 1))),
+                 acc -> acc.best)""").cast("double") /
           size(col("toks")).cast("double")).as("top_token_frac"))
   }
 

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *  - 304 → [[Fetch.NotModified]] (conditional GET matched; keep the cache),
   *  - 404 → [[Fetch.Gone]] (skip new keys; cached record survives, as in the
   *    reference where only 200 responses overwrite the snapshot),
-  *  - connection error → [[Fetch.TransientError]], retried up to
-  *    `maxRetries` times with a sleep (crawl.py RETRIES_COUNT=3).
+  *  - connection error → [[Fetch.TransientError]], re-fetched with a sleep
+  *    until `maxAttempts` TOTAL attempts are exhausted (maxAttempts = 3 means
+  *    two retries after the first failure — crawl.py RETRIES_COUNT=3).
   *
   * Scale design: [[Crawl.incremental]] is the reference's Downloader+Updator
   * as ONE dataflow — the key universe joins the previous snapshot to split
@@ -92,14 +93,14 @@ object Crawl {
     * retries throw — a crawl that cannot reach its source must fail the run,
     * not silently emit a partial snapshot. */
   private def fetchWithRetry(source: Source, key: String, etag: Option[String],
-                             maxRetries: Int, retrySleepMs: Long): Fetch = {
+                             maxAttempts: Int, retrySleepMs: Long): Fetch = {
     var attempt = 0
     while (true) {
       source.fetch(key, etag) match {
         case Fetch.TransientError(msg) =>
           attempt += 1
-          if (attempt >= maxRetries)
-            throw new RuntimeException(s"fetch '$key' failed after $maxRetries retries: $msg")
+          if (attempt >= maxAttempts)
+            throw new RuntimeException(s"fetch '$key' failed after $maxAttempts attempts: $msg")
           Thread.sleep(retrySleepMs)
         case other => return other
       }
@@ -110,7 +111,7 @@ object Crawl {
   /** Download brand-new keys (LatestDownloader, crawl.py:57-80): plain GET,
     * 404s skipped, anything else must be 200. */
   def fetchNew(keys: DataFrame, source: Source,
-               maxRetries: Int = 3, retrySleepMs: Long = 0L): DataFrame = {
+               maxAttempts: Int = 3, retrySleepMs: Long = 0L): DataFrame = {
     val spark = keys.sparkSession
     import spark.implicits._
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -118,7 +119,7 @@ object Crawl {
       .repartition(n) // spread I/O-bound fetches; a key list arrives in one split
       .mapPartitions { it =>
         it.flatMap { key =>
-          fetchWithRetry(source, key, None, maxRetries, retrySleepMs) match {
+          fetchWithRetry(source, key, None, maxAttempts, retrySleepMs) match {
             case Fetch.Ok(content, etag) => Some((key, content, etag))
             case Fetch.Gone => None
             case other => throw new RuntimeException(s"unexpected $other for unconditional fetch '$key'")
@@ -136,9 +137,9 @@ object Crawl {
     * over the previous snapshot keep-first (crawl.py:133-153 concat +
     * drop_duplicates keep='first'). The snapshot is never pruned. */
   def incremental(keys: DataFrame, state: Option[DataFrame], source: Source,
-                  maxRetries: Int = 3, retrySleepMs: Long = 0L): DataFrame =
+                  maxAttempts: Int = 3, retrySleepMs: Long = 0L): DataFrame =
     state match {
-      case None => fetchNew(keys, source, maxRetries, retrySleepMs)
+      case None => fetchNew(keys, source, maxAttempts, retrySleepMs)
       case Some(cache) =>
         val spark = keys.sparkSession
         import spark.implicits._
@@ -148,7 +149,7 @@ object Crawl {
           .repartition(n)
           .mapPartitions { it =>
             it.flatMap { case (key, etag) =>
-              fetchWithRetry(source, key, Some(etag), maxRetries, retrySleepMs) match {
+              fetchWithRetry(source, key, Some(etag), maxAttempts, retrySleepMs) match {
                 case Fetch.Ok(content, newEtag) => Some((key, content, newEtag))
                 case Fetch.NotModified => None
                 case Fetch.Gone => None // cached row survives via the merge
@@ -159,7 +160,7 @@ object Crawl {
           .toDF("name", "latest", "etag")
         val newRows = fetchNew(
           keys.select(col("name")).join(cache, Seq("name"), "left_anti"),
-          source, maxRetries, retrySleepMs)
+          source, maxAttempts, retrySleepMs)
         graft.ops.Incremental.mergeKeepFirst(
           updated.unionByName(newRows), cache, Seq("name"))
     }
@@ -173,7 +174,7 @@ class CrawlNode(
     override val name: String,
     source: Source,
     outputId: String,
-    maxRetries: Int = 3,
+    maxAttempts: Int = 3,
     retrySleepMs: Long = 0L)
   extends graft.engine.EtlNode {
 
@@ -184,6 +185,6 @@ class CrawlNode(
   def run(cat: graft.engine.Catalog): Unit = {
     val keys = Crawl.trigger(cat.spark, source)
     val state = if (cat.existsCache(outputId)) Some(cat.loadCache(outputId)) else None
-    cat.write(Crawl.incremental(keys, state, source, maxRetries, retrySleepMs), outputId)
+    cat.write(Crawl.incremental(keys, state, source, maxAttempts, retrySleepMs), outputId)
   }
 }

@@ -53,10 +53,13 @@ class BulkLoadSpec extends AnyFunSuite {
     // write under the node_ prefix the loader scan expects
     RedisGraphCsv.writeNodes(nodes, "customer", s"$dir/node_customer")
     val cmd = RedisGraphBulkLoad.command(dir.toString, "redis://localhost:9001", "G")
-    assert(cmd.containsSlice(Seq("--nodes", s"$dir/node_customer")))
-    // the exported part file leads with the typed header and quotes strings
+    // a Spark output DIRECTORY is resolved to its part file(s) with an
+    // explicit label — the loader opens each argument as a CSV file
     val part = Files.list(dir.resolve("node_customer")).toArray.map(_.toString)
       .filter(_.contains("part-")).head
+    assert(cmd.containsSlice(Seq("--nodes-with-label", "customer", part)))
+    assert(!cmd.contains(s"$dir/node_customer"), "must not pass the bare directory")
+    // the exported part file leads with the typed header and quotes strings
     val lines = scala.io.Source.fromFile(part).getLines().toSeq
     assert(lines.head === "\":ID(customer)\",\"name:STRING\",\"cnt:INTEGER\"")
     assert(lines.exists(_.contains("\"be\\\"ta\"")))

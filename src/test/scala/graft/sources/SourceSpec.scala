@@ -113,20 +113,20 @@ class SourceSpec extends AnyFunSuite {
     assert(RecordingSource.n("a", "404") === 1)
   }
 
-  test("transient errors retry up to maxRetries, then fail the run") {
+  test("transient errors retry up to maxAttempts, then fail the run") {
     val dir = Files.createTempDirectory("graft_src")
     write(dir, "x", """{"v":1}""")
 
     FlakySource.reset()
     val flaky2 = new FlakySource(LocalFsSource(dir.toString), failures = 2)
-    val ok = Crawl.fetchNew(Crawl.trigger(spark, flaky2), flaky2, maxRetries = 3)
+    val ok = Crawl.fetchNew(Crawl.trigger(spark, flaky2), flaky2, maxAttempts = 3)
     assert(ok.collect().map(_.getAs[String]("name")).toSeq === Seq("x"))
     assert(FlakySource.attempts.get("x").get === 3, "two failures + one success")
 
     FlakySource.reset()
     val flaky9 = new FlakySource(LocalFsSource(dir.toString), failures = 9)
     val ex = intercept[Exception] {
-      Crawl.fetchNew(Crawl.trigger(spark, flaky9), flaky9, maxRetries = 3).collect()
+      Crawl.fetchNew(Crawl.trigger(spark, flaky9), flaky9, maxAttempts = 3).collect()
     }
     assert(ex.getMessage != null)
   }
