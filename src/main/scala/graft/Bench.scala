@@ -59,6 +59,12 @@ object Bench {
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "5000")
       .config("spark.sql.ui.retainedExecutions", "10")
+      // ~110 executions write a lot of shuffle files; by default their
+      // deletion is async (ContextCleaner best-effort after GC), so dead
+      // shuffle data can pile up on local disk for the whole run and slow
+      // every later disk-bound exchange. Blocking mode makes the per-query
+      // System.gc() in cleanup() a deterministic disk release.
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

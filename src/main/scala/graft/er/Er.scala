@@ -194,27 +194,25 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     val tE = System.nanoTime()
-    val e = {
-      // Checkpoint the RAW pairs first: the symmetrizing union below references
-      // its input twice, and without this the whole upstream edge-producing
-      // pipeline (e.g. the MinHash cascade) would run twice inside one job.
-      // Eager localCheckpoint, NOT persist(): the loop references e every
-      // round, and a CacheManager persist is not reliably hit across the
-      // iteration jobs (observed: every round re-ran the full upstream
-      // pair-generation DAG, ~40s/round on a 255-edge graph whose actual
-      // propagation work is ~1s/round). Checkpointing materializes the edge
-      // set once and truncates the upstream lineage; blocks are freed by the
-      // ContextCleaner once the DataFrame is unreferenced.
-      val s = edges.toDF("src", "dst").localCheckpoint(true)
-      // undirected: symmetrize over the checkpointed blocks — the second
-      // checkpoint only re-reads those blocks, no upstream recompute. No
-      // distinct(): the per-round min aggregate absorbs duplicate edges and
-      // self-loops, so deduping here would spend a full shuffle to save
-      // nothing downstream.
-      s.select(col("src"), col("dst"))
-        .union(s.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
-    }
+    // Checkpoint the RAW pairs first: the symmetrizing union below references
+    // its input twice, and without this the whole upstream edge-producing
+    // pipeline (e.g. the MinHash cascade) would run twice inside one job.
+    // Eager localCheckpoint, NOT persist(): the loop references e every
+    // round, and a CacheManager persist is not reliably hit across the
+    // iteration jobs (observed: every round re-ran the full upstream
+    // pair-generation DAG, ~40s/round on a 255-edge graph whose actual
+    // propagation work is ~1s/round). Checkpointing materializes the edge
+    // set once and truncates the upstream lineage; blocks are freed by the
+    // ContextCleaner once the DataFrame is unreferenced.
+    val s = edges.toDF("src", "dst").localCheckpoint(true)
+    // undirected: symmetrize LAZILY over the checkpointed blocks — the union
+    // is narrow (two block reads, no shuffle), so re-evaluating it each round
+    // costs nothing and a second eager checkpoint would only re-write the
+    // whole edge set to storage again. No distinct(): the per-round min
+    // aggregate absorbs duplicate edges and self-loops, so deduping here
+    // would spend a full shuffle to save nothing downstream.
+    val e = s.select(col("src"), col("dst"))
+      .union(s.select(col("dst").as("src"), col("src").as("dst")))
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     if (verbose)
       System.err.println(f"[cc] edges checkpoint ${(System.nanoTime() - tE) / 1e9}%.2fs")
@@ -228,6 +226,17 @@ object ConnectedComponents {
     // above, so this only affects the per-round propagate/compress jobs.
     val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Size the loop's exchanges to the graph, not the session default: with
+    // AQE off every round would otherwise run its 4-5 stages at the full
+    // configured partition count even for a few hundred label rows — pure
+    // task-scheduling overhead that dominates toy/medium graphs. One count
+    // over the checkpointed blocks (cheap: no recompute) picks ~100k edge
+    // rows per partition, clamped to the session setting, so a cluster-scale
+    // edge set still uses every configured partition. This is the static
+    // stand-in for exactly the coalescing AQE would have done.
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(confParts.toLong, s.count() / 100000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
     var t0 = System.nanoTime()
     var labels = e.select(col("src").as("id")).distinct()
@@ -273,7 +282,10 @@ object ConnectedComponents {
     }
     require(converged, s"connected components did not converge in $maxIter iterations")
     labels
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", confParts)
+    }
   }
 
   /** Reference output shape (messy.py:432-448): (messy_id, cluster_id) where
