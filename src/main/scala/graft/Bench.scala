@@ -24,49 +24,44 @@ object Bench {
     ()
   }
 
-  /** Release state a query left behind (caches, checkpointed RDDs held only
-    * by dead references) so later queries are measured on a clean session —
-    * without this, storage accumulated across ~50 warm-up queries evicts the
-    * next query's checkpoints and its timed pass degrades several-fold. */
-  private def cleanup(spark: SparkSession): Unit = {
-    // defensive: no query should leave a live stream, but a leaked one would
-    // keep writing state forever and skew every later measurement
-    spark.streams.active.foreach(_.stop())
-    spark.streams.resetTerminated()
-    spark.catalog.clearCache()
-    // localCheckpoint()ed RDDs are persisted RDDs whose blocks are only freed
-    // when the async ContextCleaner gets to the dead references; across ~50
-    // queries they accumulate and evict later queries' live checkpoints
-    // mid-loop, triggering recompute storms. Free them deterministically.
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    System.gc()
-  }
-
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  private def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // A 110-execution session accumulates status-store state (job/stage/
-      // task/SQL-execution records incl. full plan strings) that the listener
-      // bus must keep maintaining; bound it so late queries aren't measured
-      // on an aged driver.
-      .config("spark.ui.retainedJobs", "50")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "5000")
-      .config("spark.sql.ui.retainedExecutions", "10")
-      // ~110 executions write a lot of shuffle files; by default their
-      // deletion is async (ContextCleaner best-effort after GC), so dead
-      // shuffle data can pile up on local disk for the whole run and slow
-      // every later disk-bound exchange. Blocking mode makes the per-query
-      // System.gc() in cleanup() a deterministic disk release.
-      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // Each query runs on a FRESH SparkSession + SparkContext. Rounds 2-5 all
+    // recorded 10-25× inflation on the heaviest queries in the full ~110-
+    // execution session (q_dedup_clusters 98-104s, q_dedup_minhash 54-99s)
+    // that no isolated rerun ever reproduced (4-9s under the same configs,
+    // even with 8× CPU oversubscription or a quartered heap), and that
+    // in-session cleanup (clearCache + blocking unpersist of all persistent
+    // RDDs + stream stop + GC, rounds 3-4) did not eliminate. A context
+    // restart is the measurement-hygiene guarantee: no storage blocks,
+    // broadcasts, shuffle files, state stores, memory-sink tables, status-
+    // store/listener backlog, or mutated session confs can leak between
+    // measurements, whatever the decay mechanism was. Restart cost (~0.5s)
+    // is paid OUTSIDE the per-query timer; JIT + whole-stage-codegen caches
+    // are JVM-global, so the warm-up pass still warms the timed pass.
+    var spark = build(cpus)
+    def restart(): SparkSession = {
+      spark.streams.active.foreach(_.stop())
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = build(cpus)
+      spark
+    }
 
     // optional comma-separated filter for one-off investigations
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -78,8 +73,8 @@ object Bench {
       val t0 = System.nanoTime()
       try consume(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench][warmup] $name failed: ${e.getMessage}") }
-      cleanup(spark)
       System.err.println(f"[bench][warmup] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      restart()
     }
 
     val results = queries.map { case (name, fn) =>
@@ -91,8 +86,8 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
-      cleanup(spark)
       System.err.println(f"[bench] $name $sec%.2fs")
+      restart()
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -224,8 +224,6 @@ object ConnectedComponents {
     // (GraphFrames' connected components does the same). The heavy work —
     // producing the edge set — already ran WITH AQE inside the checkpoint
     // above, so this only affects the per-round propagate/compress jobs.
-    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     // Size the loop's exchanges to the graph, not the session default: with
     // AQE off every round would otherwise run its 4-5 stages at the full
     // configured partition count even for a few hundred label rows — pure
@@ -234,8 +232,17 @@ object ConnectedComponents {
     // rows per partition, clamped to the session setting, so a cluster-scale
     // edge set still uses every configured partition. This is the static
     // stand-in for exactly the coalescing AQE would have done.
+    // Both the count and the conf reads happen BEFORE any conf mutation, so
+    // a failure here (executor loss mid-count) can never leak a mutated
+    // session conf past the finally below. The mutations themselves are
+    // session-global for the loop's duration — the engine runs one query at
+    // a time per session (DagExecutor parallelism is across *sessions*-safe
+    // node work, not concurrent actions on this one), which is the stated
+    // concurrency contract for CC.
     val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1L, math.min(confParts.toLong, s.count() / 100000L + 1L)).toInt
+    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
     var t0 = System.nanoTime()

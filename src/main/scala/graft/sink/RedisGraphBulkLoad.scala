@@ -1,6 +1,9 @@
 package graft.sink
 
 import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
 
 /** S11 — RedisGraph bulk-load invocation (reference: examples/run_ingest.py:4-16):
   * scan an export directory for the S7 CSV files ([[RedisGraphCsv]] layout:
@@ -21,12 +24,19 @@ object RedisGraphBulkLoad {
     * A `node_<label>` / `link_<rel>` entry is either a plain CSV file (the
     * reference's layout — label inferred by the loader from the filename) or
     * a Spark text-output DIRECTORY holding `part-*` files plus `_SUCCESS`.
-    * The loader opens each argument as a CSV file, so directories must be
-    * resolved to their part files; since a part filename no longer carries
-    * the label, those are passed with the explicit-label flags
-    * (`--nodes-with-label LABEL FILE` / `--relations-with-type TYPE FILE`,
-    * repeatable — each part file leads with its own header per the S7
-    * contract, so every part parses standalone).
+    * The loader opens each argument as a CSV file, so directories are
+    * resolved to ONE CSV per entity: empty Spark partitions emit header-only
+    * part files (no rows to load — dropped), and multiple data-bearing parts
+    * are merged into a single `merged.csv` (first header kept, the repeated
+    * per-part headers stripped) so the loader never sees the same label
+    * twice — the reference's loader consumed exactly one CSV per label
+    * (run_ingest.py:4-16) and repeated same-label descriptors are an
+    * unverified extension of that contract. The merge is driver-local IO,
+    * fine at export scale: the bulk loader itself is a single process, so a
+    * graph small enough to bulk-insert is small enough to concatenate.
+    * Since the merged filename no longer carries the label, it is passed
+    * with the explicit-label flags (`--nodes-with-label LABEL FILE` /
+    * `--relations-with-type TYPE FILE`).
     *
     * @param exportDir directory holding `node_<label>` / `link_<rel>` CSVs
     * @param url       redis endpoint (reference: redis://localhost:9001)
@@ -40,7 +50,15 @@ object RedisGraphBulkLoad {
         val parts = Option(f.list()).map(_.toSeq).getOrElse(Seq.empty)
           .filter(_.startsWith("part-")).sorted
         require(parts.nonEmpty, s"no part-* files in Spark output dir $f")
-        parts.flatMap(p => Seq(labeledFlag, label, s"$exportDir/$entry/$p"))
+        // header-only parts come from empty Spark partitions: nothing to load
+        val dataParts = parts.filter(p => hasDataRow(s"$exportDir/$entry/$p"))
+        dataParts match {
+          case Seq() => Seq.empty // zero-row export: no entities of this label
+          case Seq(one) => Seq(labeledFlag, label, s"$exportDir/$entry/$one")
+          case many =>
+            val merged = mergeParts(s"$exportDir/$entry", many)
+            Seq(labeledFlag, label, merged)
+        }
       } else Seq(plainFlag, s"$exportDir/$entry")
     }
     val nodes = files.filter(_.startsWith("node_")).flatMap(e =>
@@ -49,6 +67,36 @@ object RedisGraphBulkLoad {
       resolve(e, "--relations", "--relations-with-type", e.stripPrefix("link_")))
     Seq("redisgraph-bulk-insert", "-u", url, graphName,
       "--enforce-schema", "--skip-invalid-nodes", "--skip-invalid-edges") ++ nodes ++ links
+  }
+
+  /** True iff the CSV has at least one row after the S7 header line. Reads at
+    * most two lines — never the whole file. */
+  private def hasDataRow(path: String): Boolean = {
+    val r = Files.newBufferedReader(Paths.get(path), StandardCharsets.UTF_8)
+    try r.readLine() != null && r.readLine() != null finally r.close()
+  }
+
+  /** Concatenate data-bearing part files into `<dir>/merged.csv`: the first
+    * part's header line leads, every other part's header is dropped (the S7
+    * contract writes the identical typed header on each part). Deterministic:
+    * parts arrive sorted, output is overwritten atomically via temp+move. */
+  private def mergeParts(dir: String, parts: Seq[String]): String = {
+    val out = Paths.get(dir, "merged.csv")
+    val tmp = Paths.get(dir, ".merged.csv.tmp")
+    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val lines = Files.lines(Paths.get(dir, p), StandardCharsets.UTF_8)
+        try {
+          val it = lines.iterator().asScala
+          if (i > 0 && it.hasNext) it.next() // skip the repeated header
+          it.foreach { l => w.write(l); w.newLine() }
+        } finally lines.close()
+      }
+    } finally w.close()
+    Files.move(tmp, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    out.toString
   }
 
   /** Build and run the load. @param runner argv => exit code (injectable). */

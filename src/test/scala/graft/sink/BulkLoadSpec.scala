@@ -46,6 +46,35 @@ class BulkLoadSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-part dirs merge to one CSV; header-only parts are dropped") {
+    val dir = Files.createTempDirectory("graft_rg_parts")
+    val sub = Files.createDirectory(dir.resolve("node_pkg"))
+    def part(name: String, lines: String*): Unit = {
+      Files.write(sub.resolve(name), lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+    val hdr = "\":ID(pkg)\",\"name:STRING\""
+    part("part-00000", hdr, "\"p1\",\"a\"")
+    part("part-00001", hdr) // empty Spark partition: header only
+    part("part-00002", hdr, "\"p2\",\"b\"", "\"p3\",\"c\"")
+    val cmd = RedisGraphBulkLoad.command(dir.toString, "redis://h:1", "G")
+    // exactly ONE descriptor for the label, pointing at the merged file
+    assert(cmd.count(_ == "--nodes-with-label") === 1)
+    val merged = cmd(cmd.indexOf("--nodes-with-label") + 2)
+    assert(merged === s"$sub/merged.csv")
+    val lines = scala.io.Source.fromFile(merged).getLines().toSeq
+    assert(lines === Seq(hdr, "\"p1\",\"a\"", "\"p2\",\"b\"", "\"p3\",\"c\""))
+  }
+
+  test("a dir whose every part is header-only contributes nothing") {
+    val dir = Files.createTempDirectory("graft_rg_empty")
+    val sub = Files.createDirectory(dir.resolve("node_ghost"))
+    Files.write(sub.resolve("part-00000"),
+      "\":ID(ghost)\"".getBytes(StandardCharsets.UTF_8))
+    val cmd = RedisGraphBulkLoad.command(dir.toString, "redis://h:1", "G")
+    assert(!cmd.exists(_.contains("ghost")))
+  }
+
   test("end-to-end: S7 CSV export of a real DataFrame feeds the S11 command") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_rg_e2e")
@@ -55,8 +84,10 @@ class BulkLoadSpec extends AnyFunSuite {
     val cmd = RedisGraphBulkLoad.command(dir.toString, "redis://localhost:9001", "G")
     // a Spark output DIRECTORY is resolved to its part file(s) with an
     // explicit label — the loader opens each argument as a CSV file
+    // basename match only: Spark also writes hidden .part-*.crc checksums,
+    // and Files.list order is filesystem-dependent
     val part = Files.list(dir.resolve("node_customer")).toArray.map(_.toString)
-      .filter(_.contains("part-")).head
+      .filter(p => new java.io.File(p).getName.startsWith("part-")).head
     assert(cmd.containsSlice(Seq("--nodes-with-label", "customer", part)))
     assert(!cmd.contains(s"$dir/node_customer"), "must not pass the bare directory")
     // the exported part file leads with the typed header and quotes strings
