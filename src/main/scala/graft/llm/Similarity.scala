@@ -96,31 +96,34 @@ object Similarity {
 
   /** IVF-style ANN: a coarse quantizer (the first `nLists` vectors act as
     * deterministic seed centroids) partitions the corpus into inverted lists;
-    * each query probes ONLY its own list. Against brute force this divides the
-    * scanned corpus by ~nLists at some recall cost (probe-1; widen by unioning
-    * more lists). A trained k-means quantizer slots in by swapping the seed
-    * table — the dataflow (assign via argmax seed-cosine → equi-join on list
-    * id → local top-k) is identical, and every step is integer-exact, so the
-    * whole index build + search is oracle-verifiable. */
+    * each query probes its `nProbe` nearest lists (corpus vectors always live
+    * in exactly ONE list, so a (query, match) pair arises via at most one
+    * probe — no dedup step). Against brute force this divides the scanned
+    * corpus by ~nLists/nProbe; nProbe is the standard IVF recall knob
+    * (probe-1 = fastest/lowest recall, nProbe = nLists degenerates to exact).
+    * A trained k-means quantizer slots in by swapping the seed table — the
+    * dataflow (assign via argmax seed-cosine → equi-join on list id → local
+    * top-k) is identical, and every step is integer-exact, so the whole index
+    * build + search is oracle-verifiable. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              embCol: String, nLists: Int, k: Int): DataFrame = {
+              embCol: String, nLists: Int, k: Int, nProbe: Int = 1): DataFrame = {
     val seeds = corpus.filter(col(idCol) < nLists)
       .select(col(idCol).as("list_id"), quantize(col(embCol)).as("sv"))
 
-    // assign a vector set to its nearest seed (ties -> smallest list id)
-    def assign(df: DataFrame, outId: String): DataFrame = {
+    // assign a vector set to its `p` nearest seeds (ties -> smallest list id)
+    def assign(df: DataFrame, outId: String, p: Int): DataFrame = {
       // bounded cross: every vector scores all nLists seeds (what a coarse
       // quantizer is); seeds are broadcast, n × nLists rows total
       val scored = df.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
         .crossJoin(broadcast(seeds))
         .select(col(outId), col("v"), col("list_id"), qcosine(col("v"), col("sv")).as("c"))
-      graft.ops.DistinctOn.distinctOnOrdered(
-        scored, Seq(col(outId)), Seq(col("c").desc, col("list_id").asc))
+      graft.ops.DistinctOn.topK(
+        scored, Seq(col(outId)), Seq(col("c").desc, col("list_id").asc), p)
         .select(col(outId), col("list_id"), col("v"))
     }
 
-    val lists = assign(corpus, "match_id")
-    val probes = assign(queries, "query_id")
+    val lists = assign(corpus, "match_id", 1)
+    val probes = assign(queries, "query_id", nProbe)
     val scored = probes.withColumnRenamed("v", "qv")
       .join(lists.withColumnRenamed("v", "cv"), Seq("list_id"))
       .filter(col("query_id") =!= col("match_id"))

@@ -130,6 +130,14 @@ object LlmQueries {
         nLists = 16, k = 5)
     }),
 
+    // IVF multi-probe: each query searches its 4 nearest inverted lists
+    // (the IVF recall knob; candidates strictly superset probe-1's)
+    "q_ann_ivf_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nLists = 16, k = 5, nProbe = 4)
+    }),
+
     // token counting: whitespace + BPE-ish regex subword count
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -296,6 +304,30 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
          |  FROM assigned q JOIN assigned c ON q.list_id = c.list_id
          |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_ann_ivf_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
+         |seeds AS (SELECT vec_id AS list_id, qv AS sv FROM v WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM v x CROSS JOIN seeds s) a
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM v x CROSS JOIN seeds s WHERE x.vec_id < 10) a
+         |  WHERE rn <= 4)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT q.query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
+         |  FROM probes q JOIN assigned c ON q.list_id = c.list_id
+         |    AND q.query_id <> c.vec_id) s
          |WHERE rn <= 5""".stripMargin,
 
     "q_text_tokens" ->

@@ -80,6 +80,26 @@ class LlmSpec extends AnyFunSuite {
     assert(!probe1.contains(4L) && multi.contains(4L), "1-bit neighbor recalled only by multi-probe")
   }
 
+  test("IVF nProbe widens recall monotonically toward brute force") {
+    // 8 vectors, 4 seed lists; queries = vec 0. nProbe=4 (all lists) must
+    // equal brute force; nProbe=1 candidates must be a subset of nProbe=2's.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.9f, 0.4f, 0.0f)), (5L, Array(0.8f, -0.5f, 0.1f)),
+      (6L, Array(0.7f, 0.1f, 0.7f)), (7L, Array(0.95f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0)
+    def matches(p: Int): Set[Long] =
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", nLists = 4, k = 8, nProbe = p)
+        .select("match_id").as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 8)
+      .select("match_id").as[Long].collect().toSet
+    val p1 = matches(1); val p2 = matches(2); val p4 = matches(4)
+    assert(p1.subsetOf(p2) && p2.subsetOf(p4), "candidates must grow with nProbe")
+    assert(p4 === brute, "probing every list is exact search")
+  }
+
   test("sign-bucket LSH co-buckets aligned vectors and separates opposites") {
     val b = vecs.select(col("vec_id"), Similarity.signBucket(col("embedding"), 3).as("bk"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
