@@ -215,19 +215,28 @@ object Dedup {
 
   /** 16-bit SimHash over whitespace tokens: per bit, majority vote of the
     * token-hash bits (nibbles of md5 hex). Fingerprints with small hamming
-    * distance ⇒ similar token distributions. Output: (id, simhash). */
+    * distance ⇒ similar token distributions. Output: (id, simhash).
+    *
+    * ONE shuffle: each token row carries all 16 bit indicators as columns
+    * (the md5 is computed once per token, narrow), and the per-doc majority
+    * rides a single groupBy with 16 conditional sums + a count — map-side
+    * partials are 17 longs per doc per partition. The alternative explode of
+    * a (token × bit) row set shuffles 16× the rows through TWO aggregates;
+    * at 100 TB that is 16× the exchange bytes for the same answer. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.repartition(col(idCol))
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-    val bits = toks
-      .select(col(idCol), col("w"), explode(sequence(lit(0), lit(15))).as("bit"))
-      .withColumn("nibble",
-        expr("instr('0123456789abcdef', substring(md5(w), 1 + (bit div 4), 1)) - 1"))
-      .withColumn("one", expr("shiftright(nibble, 3 - (bit % 4)) & 1"))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("one")).as("ones"), count(lit(1)).as("n"))
-    bits.groupBy(col(idCol))
-      .agg(sum(expr("CASE WHEN 2*ones > n THEN shiftleft(1, bit) ELSE 0 END")).cast("long").as("simhash"))
+      .withColumn("d", md5(col("w")))
+    val bitSums = (0 until 16).map { b =>
+      val nibble = s"(instr('0123456789abcdef', substring(d, ${1 + b / 4}, 1)) - 1)"
+      sum(expr(s"shiftright($nibble, ${3 - b % 4}) & 1")).as(s"b$b")
+    }
+    val aggs = bitSums :+ count(lit(1)).as("n")
+    toks.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(b => expr(s"CASE WHEN 2*b$b > n THEN shiftleft(1L, $b) ELSE 0L END"))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** Blocked n-gram (distinct-token) Jaccard near-dup: candidate pairs are
@@ -249,7 +258,9 @@ object Dedup {
   def tokenJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockKey: Column, threshold: Double): DataFrame = {
     // spread the postings build: the doc table arrives in a handful of parquet
-    // splits, and the token explode below multiplies rows ~100×
+    // splits, and the token explode below multiplies rows ~100× (measured:
+    // dropping this exchange serializes the explode + tokenize and costs more
+    // than the one narrow pass of the text it saves)
     val docs = df.repartition(col(idCol)).select(col(idCol), blockKey.as("blk"),
       array_distinct(split(col(textCol), " ")).as("tw"))
     val post = docs.select(col("blk"), col(idCol).as("id"),
