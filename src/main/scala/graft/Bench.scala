@@ -55,11 +55,22 @@ object Bench {
     // are JVM-global, so the warm-up pass still warms the timed pass.
     var spark = build(cpus)
     def restart(): SparkSession = {
-      spark.streams.active.foreach(_.stop())
-      spark.stop()
+      // a failed teardown must never kill the whole bench run: log, wait out
+      // transient churn (port reuse, executor threads draining), try once more
+      try {
+        spark.streams.active.foreach(_.stop())
+        spark.stop()
+      } catch { case e: Throwable => System.err.println(s"[bench] stop failed: ${e.getMessage}") }
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      spark = build(cpus)
+      spark =
+        try build(cpus)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] session rebuild failed, retrying: ${e.getMessage}")
+            Thread.sleep(2000)
+            build(cpus)
+        }
       spark
     }
 
