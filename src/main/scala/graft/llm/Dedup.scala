@@ -213,6 +213,29 @@ object Dedup {
     verifiedJaccardFromSets(pruned, sets, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Span-level exact dedup (the C4/RefinedWeb-style pass: drop sentence
+    * spans repeated across the corpus, independent of whole-document dedup).
+    * Documents explode into '. '-delimited spans; spans shorter than
+    * `minLen` characters are noise (abbreviations, list bullets) and are
+    * skipped. One map-side-combinable shuffle on the span digest — the same
+    * shape as [[exact]], so it scales identically. Output per repeated span:
+    * (digest, keep_id = min owning doc, span_cnt, doc_cnt); a downstream
+    * rewrite pass would keep the span only in keep_id.
+    *
+    * posexplode keeps the span's position so the canonical owner is
+    * deterministic: ties on doc id cannot arise (min doc id), and the
+    * position makes the row usable for actual span excision. */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                minLen: Int = 20): DataFrame =
+    df.repartition(col(idCol))
+      .select(col(idCol), posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "span")))
+      .filter(length(col("span")) >= minLen)
+      .groupBy(md5(col("span")).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("span_cnt"),
+        countDistinct(col(idCol)).as("doc_cnt"))
+      .filter(col("span_cnt") > 1)
+
   /** 16-bit SimHash over whitespace tokens: per bit, majority vote of the
     * token-hash bits (nibbles of md5 hex). Fingerprints with small hamming
     * distance ⇒ similar token distributions. Output: (id, simhash).

@@ -92,6 +92,10 @@ object LlmQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")),
 
+    // C4-style span dedup: sentence spans repeated across the corpus
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", minLen = 20)),
+
     // blocked distinct-token Jaccard (block = lang + length bucket)
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.tokenJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
@@ -229,6 +233,14 @@ object LlmQueries {
          |  SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON w.id = e.a)
          |SELECT id AS doc_id, min(comp) AS canonical_id FROM walk GROUP BY id""".stripMargin
     },
+
+    "q_dedup_spans" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(string_split(text, '. ')) AS span FROM documents)
+        |SELECT md5(span) AS digest, min(doc_id) AS keep_id,
+        |  count(*) AS span_cnt, count(DISTINCT doc_id) AS doc_cnt
+        |FROM s WHERE length(span) >= 20
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
