@@ -189,9 +189,21 @@ object Scoring {
   */
 object ConnectedComponents {
 
-  /** @param edges two-column DataFrame (src, dst), any integral type
+  /** Edge-count gate below which the component computation runs as a driver
+    * union-find instead of the distributed label-propagation loop. Same
+    * philosophy as Spark's own `autoBroadcastJoinThreshold`: pick the physical
+    * strategy from the measured size of the data, here the exact count already
+    * taken for loop-partition sizing. 2M edges = 32 MB of (long, long) on the
+    * driver and a few ms of union-find, vs a fixed ~0.3-0.5s *per round* of
+    * stage-scheduling overhead in the distributed loop — which is the correct
+    * cost structure at 100 TB (where the edge set can't fit a driver) but pure
+    * floor on the small, already-aggregated pair sets ER blocking emits. */
+  val DriverPathMaxEdges: Long = 2L * 1000 * 1000
+
+  /** @param edges two-column DataFrame (src, dst); integral or string ids
     * @return (id, component) where component = min id reachable — deterministic. */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50,
+          driverThreshold: Long = DriverPathMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     val tE = System.nanoTime()
     // Checkpoint the RAW pairs first: the symmetrizing union below references
@@ -240,17 +252,20 @@ object ConnectedComponents {
     // node work, not concurrent actions on this one), which is the stated
     // concurrency contract for CC.
     val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts = math.max(1L, math.min(confParts.toLong, s.count() / 100000L + 1L)).toInt
+    val edgeCount = s.count()
+    if (edgeCount <= driverThreshold) {
+      driverUnionFind(s, verbose) match {
+        case Some(labels) => return labels
+        case None         => () // unsupported id type: distributed loop below
+      }
+    }
+    val loopParts = math.max(1L, math.min(confParts.toLong, edgeCount / 100000L + 1L)).toInt
     val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
     var t0 = System.nanoTime()
-    var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
-    if (verbose)
-      System.err.println(f"[cc] init ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    var labels: DataFrame = null
 
     var iter = 0
     var converged = false
@@ -259,11 +274,25 @@ object ConnectedComponents {
       // candidate labels arriving over edges, merged with current labels; the
       // old label rides along (tagged `own`) so convergence detection needs no
       // extra labels-vs-labels join afterwards — every id has exactly one own
-      // row, recovered by max(when(own, component)) (max ignores the nulls)
-      val messages = e.join(labels, e("src") === labels("id"))
-        .select(e("dst").as("id"), col("component"), lit(false).as("own"))
-      val propagated = labels.select(col("id"), col("component"), lit(true).as("own"))
-        .union(messages)
+      // row, recovered by max(when(own, component)) (max ignores the nulls).
+      // Round 1 is join-free: the initial label of every node is its own id,
+      // so the message over edge (src,dst) is literally (dst, src) and the
+      // own-row is (src, src) — two narrow projections of the checkpointed
+      // edge blocks. The groupBy absorbs the duplicate own-rows (min/max over
+      // identical values), so the former distinct()+eager-checkpoint labels
+      // init was a whole extra shuffle + materialization job that round 1
+      // normalized anyway — a fixed ~0.3-0.5s floor on toy graphs. (A lazy
+      // `labels = projection of e` init would NOT work: joining e against a
+      // per-endpoint labels table multiplies to Σdeg² message rows.)
+      val propagated = (if (labels == null)
+        e.select(col("src").as("id"), col("src").as("component"), lit(true).as("own"))
+          .union(e.select(col("dst").as("id"), col("src").as("component"), lit(false).as("own")))
+      else {
+        val messages = e.join(labels, e("src") === labels("id"))
+          .select(e("dst").as("id"), col("component"), lit(false).as("own"))
+        labels.select(col("id"), col("component"), lit(true).as("own"))
+          .union(messages)
+      })
         .groupBy("id")
         .agg(min("component").as("component"),
           max(when(col("own"), col("component"))).as("old"))
@@ -295,11 +324,94 @@ object ConnectedComponents {
     }
   }
 
+  /** Small-graph fast path: exact union-find on the driver over the already-
+    * checkpointed edge blocks. Result is identical to the distributed loop —
+    * one row per distinct endpoint, component = min reachable id, input's
+    * integral type preserved. Union-by-min keeps every tree's root equal to
+    * its component minimum, so the output cannot depend on union order.
+    * This replaces 3-5 whole Spark jobs (label init + one per round) whose
+    * stage-scheduling floor dominates graphs this small; the upstream
+    * pair-generation cascade still ran fully distributed inside the
+    * checkpoint that produced `s`. */
+  private def driverUnionFind(s: DataFrame, verbose: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val spark = s.sparkSession
+    val t0 = System.nanoTime()
+    val idType = s.schema("src").dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType                                    => false
+      case _                                             => return None
+    }
+    import spark.implicits._
+    val out = if (integral) {
+      val pairs = s.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent(r) != r) r = parent(r)
+        var c = x0
+        while (c != r) { val n = parent(c); parent(c) = r; c = n } // path compression
+        r
+      }
+      pairs.foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      parent.keysIterator.map(id => (id, find(id))).toSeq.sorted
+        .toDF("id", "component")
+        .select(col("id").cast(idType).as("id"), col("component").cast(idType).as("component"))
+    } else {
+      // String ids must be ordered the way Spark's min() orders them:
+      // UTF8String compares UTF-8 bytes unsigned (= code-point order), which
+      // Java's UTF-16 compareTo does NOT match for supplementary characters.
+      def lt(a: String, b: String): Boolean = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      }
+      val pairs = s.collect()
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x0: String): String = {
+        var r = x0
+        while (parent(r) != r) r = parent(r)
+        var c = x0
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val a = row.getString(0); val b = row.getString(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+        }
+      }
+      parent.keysIterator.map(id => (id, find(id))).toSeq.sorted
+        .toDF("id", "component")
+    }
+    if (verbose)
+      System.err.println(f"[cc] driver union-find ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    Some(out)
+  }
+
   /** Reference output shape (messy.py:432-448): (messy_id, cluster_id) where
     * cluster_id is the stable hash of the component (F13). `hashed=false` keeps
     * the raw min-id component (deterministic across engines, oracle-friendly). */
-  def clusterMapping(edges: DataFrame, hashed: Boolean = false, maxIter: Int = 50): DataFrame = {
-    val comp = run(edges, maxIter)
+  def clusterMapping(edges: DataFrame, hashed: Boolean = false, maxIter: Int = 50,
+                     driverThreshold: Long = DriverPathMaxEdges): DataFrame = {
+    val comp = run(edges, maxIter, driverThreshold)
     val cid = if (hashed) graft.ops.Ids.clusterId(col("component")) else col("component")
     comp.select(col("id").as("messy_id"), cid.as("cluster_id"))
   }

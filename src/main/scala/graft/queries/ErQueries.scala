@@ -196,8 +196,15 @@ object ErQueries {
 
     // E8 + J6: high-precision gazetteer pass ∪ cluster assignments for the rest
     "q_er_mapping_combine" -> ((s, dir) => {
+      // m2c feeds BOTH the union branch and the unmapped anti-join below.
+      // Without the checkpoint the whole gazetteer block/pair/score cascade
+      // is in the plan twice, leaning on Catalyst exchange reuse to not run
+      // twice — reuse that AQE re-planning does not reliably preserve.
+      // Materializing the tiny mapping once (dozens of rows) truncates both
+      // consumers' lineage to a block read.
       val m2c = gazetteerMatches(s, dir, threshold = 0.75)
         .select(col("messy_id"), col("canon_id").as("new_id"))
+        .localCheckpoint(true)
       val clusters = ConnectedComponents.clusterMapping(scoredPairs(s, dir, threshold = 0.6).select("from", "to"))
       val unmappedClusters = Mappings.unmapped(clusters, m2c, "messy_id")
       m2c.unionByName(unmappedClusters.select(col("messy_id"), col("cluster_id").as("new_id")))

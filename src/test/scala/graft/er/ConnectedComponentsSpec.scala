@@ -28,36 +28,63 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def sparkCC(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.run(edges.toDF("src", "dst"))
+  /** Both physical paths must agree with brute force: driverThreshold=0
+    * forces the distributed label-propagation loop; the default routes graphs
+    * this small through the driver union-find fast path. */
+  private def sparkCC(edges: Seq[(Long, Long)], distributed: Boolean): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"),
+        driverThreshold = if (distributed) 0L else ConnectedComponents.DriverPathMaxEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("two disjoint triangles") {
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
-    assert(sparkCC(edges) === bruteForce(edges))
-  }
+  for (distributed <- Seq(false, true)) {
+    val path = if (distributed) "distributed loop" else "driver union-find"
 
-  test("a long chain (worst-case diameter for label propagation)") {
-    val edges = (1L until 20L).map(i => (i, i + 1))
-    val cc = sparkCC(edges)
-    assert(cc === bruteForce(edges))
-    assert(cc.values.toSet === Set(1L))
-  }
-
-  test("self-loops and duplicate/reversed edges are harmless") {
-    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L))
-    val cc = sparkCC(edges)
-    assert(cc === bruteForce(edges))
-  }
-
-  test("seeded random graphs match brute force") {
-    val rnd = new Random(42)
-    for (trial <- 1 to 5) {
-      val n = 8 + rnd.nextInt(18)
-      val m = 4 + rnd.nextInt(2 * n)
-      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      assert(sparkCC(edges) === bruteForce(edges), s"trial $trial failed: $edges")
+    test(s"two disjoint triangles [$path]") {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+      assert(sparkCC(edges, distributed) === bruteForce(edges))
     }
+
+    test(s"a long chain (worst-case diameter for label propagation) [$path]") {
+      val edges = (1L until 20L).map(i => (i, i + 1))
+      val cc = sparkCC(edges, distributed)
+      assert(cc === bruteForce(edges))
+      assert(cc.values.toSet === Set(1L))
+    }
+
+    test(s"self-loops and duplicate/reversed edges are harmless [$path]") {
+      val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L))
+      val cc = sparkCC(edges, distributed)
+      assert(cc === bruteForce(edges))
+    }
+
+    test(s"seeded random graphs match brute force [$path]") {
+      val rnd = new Random(42)
+      for (trial <- 1 to 5) {
+        val n = 8 + rnd.nextInt(18)
+        val m = 4 + rnd.nextInt(2 * n)
+        val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        assert(sparkCC(edges, distributed) === bruteForce(edges), s"trial $trial failed: $edges")
+      }
+    }
+  }
+
+  test("string ids: both paths agree (flagship uses md5 hash ids)") {
+    val edges = Seq(("b_x", "a_y"), ("a_y", "c_z"), ("d_1", "d_2")).toDF("src", "dst")
+    val fast = ConnectedComponents.run(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = ConnectedComponents.run(edges, driverThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fast === dist)
+    assert(fast === Map("a_y" -> "a_y", "b_x" -> "a_y", "c_z" -> "a_y", "d_1" -> "d_1", "d_2" -> "d_1"))
+  }
+
+  test("both paths agree on schema (id type preserved)") {
+    val intEdges = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val fast = ConnectedComponents.run(intEdges)
+    val dist = ConnectedComponents.run(intEdges, driverThreshold = 0L)
+    assert(fast.schema.map(f => (f.name, f.dataType)) === dist.schema.map(f => (f.name, f.dataType)))
+    assert(fast.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      dist.collect().map(r => (r.getInt(0), r.getInt(1))).toSet)
   }
 
   test("clusterMapping hashed=false emits min-id cluster ids; hashed=true stable hashes") {
