@@ -268,37 +268,89 @@ object Dedup {
     * Jaccard-verified. The classic "block, don't cross-join" shape; block
     * granularity bounds the quadratic term.
     *
-    * The verify is an inverted-index join-aggregate, not a per-pair array
-    * intersection: explode each doc's distinct tokens into postings, self-join
-    * postings on (block, token) — each matching row is one shared token — and
-    * `groupBy(a, b).count()` gives |∩| with map-side partial aggregation.
-    * |∪| = na + nb − |∩| from per-doc set sizes that ride the postings as one
-    * long. No wide token arrays cross a shuffle, and per-pair cost no longer
-    * scales with document length — only with the number of *shared* tokens.
-    * A size-ratio prefilter (J ≤ min/max, so J ≥ t needs min ≥ t·max) prunes
-    * mismatched-size pairs before the aggregate; the epsilon keeps the double
-    * comparison from false-rejecting exact-boundary pairs. */
+    * Candidates come from PREFIX FILTERING (the AllPairs/PPJoin family,
+    * Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW 2007):
+    * order each doc's tokens by a global pseudo-random key (xxhash64 — a
+    * frequency-decorrelated total order, so stopwords land in prefixes no
+    * more often than any other token), and index only the first
+    * n − ⌈t·n⌉ + 1 tokens. Any pair with J ≥ t must share a prefix token,
+    * so grouping the (block, token) prefix postings and expanding each
+    * sorted id-list via `slice(ids, i+2, …)` emits a superset of the true
+    * pairs — each unordered pair once, already (a < b) — at ~t̄²≈0.25% of
+    * the full inverted index's pair volume at t = 0.95. A size-ratio
+    * prefilter (J ≤ min/max, so J ≥ t needs min ≥ t·max) prunes further
+    * before the dedup; the epsilon keeps the double comparison from
+    * false-rejecting exact-boundary pairs.
+    *
+    * The verify is then exact and per-candidate: join the handful of
+    * surviving pairs back to the token arrays and take
+    * `size(array_intersect)` — O(na+nb) per pair on pairs that are almost
+    * all true positives, instead of a quadratic expand of every frequent
+    * token's posting list. All three consumers of `docs` share one
+    * repartition exchange (ReuseExchange), so the text is tokenized once. */
   def tokenJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockKey: Column, threshold: Double): DataFrame = {
-    // spread the postings build: the doc table arrives in a handful of parquet
-    // splits, and the token explode below multiplies rows ~100× (measured:
-    // dropping this exchange serializes the explode + tokenize and costs more
-    // than the one narrow pass of the text it saves)
-    val docs = df.repartition(col(idCol)).select(col(idCol), blockKey.as("blk"),
-      array_distinct(split(col(textCol), " ")).as("tw"))
-    val post = docs.select(col("blk"), col(idCol).as("id"),
-      size(col("tw")).as("n"), explode(col("tw")).as("tok"))
-    val l = post.select(col("blk"), col("tok"), col("id").as("a"), col("n").as("na"))
-    val r = post.select(col("blk"), col("tok"), col("id").as("b"), col("n").as("nb"))
+    // Tokenize BELOW the repartition exchange: `docs` has three consumers
+    // (prefix postings + both verify joins), and an exchange is the unit
+    // Catalyst's ReuseExchange dedupes on — with the projection under it,
+    // the scan + split + array_distinct run once and all three consumers
+    // read the shuffled token arrays (measured at sf0.1: 3× tokenize was
+    // ~2s of a 3s query). The exchange also spreads the explode work off
+    // the handful of parquet splits the table arrives in.
+    val docs = df.select(col(idCol).as("id"), blockKey.as("blk"),
+        array_distinct(split(col(textCol), " ")).as("tw"))
+      .repartition(col("id"))
+    val hashOrdered = array_sort(transform(col("tw"),
+      t => struct(xxhash64(t).as("h"), t.as("tok"))))
+    // ⌈t·n⌉ with a downward epsilon: 0.95·n is not exact in binary, and an
+    // upward-rounded product would shorten the prefix below the safe bound
+    // (a too-LONG prefix only adds candidates, never loses a pair)
+    val prefLen = (size(col("tw"))
+      - ceil(lit(threshold) * size(col("tw")) - lit(1e-9)) + lit(1)).cast("int")
+    val pref = docs.select(col("id"), col("blk"), size(col("tw")).as("n"),
+      explode(slice(hashOrdered, lit(1), prefLen)).as("tk"))
+    val grouped = pref.groupBy(col("blk"), col("tk").getField("h").as("h"),
+        col("tk").getField("tok").as("tok"))
+      .agg(array_sort(collect_list(struct(col("id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) > 1)
     val sizeRatioOk =
       least(col("na"), col("nb")).cast("double") >=
         lit(threshold - 1e-9) * greatest(col("na"), col("nb")).cast("double")
-    l.join(r, Seq("blk", "tok"))
-      .filter(col("a") < col("b") && sizeRatioOk)
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("i"), first("na").as("na"), first("nb").as("nb"))
+    val cand = grouped
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("x"),
+        explode(slice(col("ids"), col("pos") + lit(2),
+          size(col("ids")) - col("pos") - lit(1))).as("y"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .filter(sizeRatioOk)
+      .distinct()
+    val pairs = cand
+      .join(docs.select(col("id").as("a"), col("tw").as("ta")), "a")
+      .join(docs.select(col("id").as("b"), col("tw").as("tb")), "b")
+      .select(col("a"), col("b"), size(array_intersect(col("ta"), col("tb"))).as("i"),
+        col("na"), col("nb"))
       .select(col("a"), col("b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Statistics-gated static planning, same philosophy as the CC driver
+    // gate: this plan is 7 exchanges deep, and on a small corpus AQE's
+    // per-stage driver re-planning (~0.2s × 7 stages, measured 3.1s vs 1.4s
+    // at sf0.1) costs more than the whole query. The planner's own size
+    // estimate for the input (parquet file stats — free, no extra scan)
+    // decides: small input ⇒ run eagerly under static planning; large input
+    // ⇒ return the lazy plan and let AQE handle skew/coalescing where its
+    // cost amortizes. The conf flip is execution-scoped with restore —
+    // lazily returned plans execute under the session conf, so the gated
+    // branch must materialize inside the scope (eager localCheckpoint).
+    val smallInput = df.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
+    if (!smallInput) pairs
+    else {
+      val spark = df.sparkSession
+      val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try pairs.localCheckpoint(true)
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
   }
 }

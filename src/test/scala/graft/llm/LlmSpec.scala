@@ -54,6 +54,31 @@ class LlmSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix-filtered token jaccard is exhaustive: matches brute force on seeded random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 25).map(i => s"w$i")
+    // clusters of mutated clones so pairs straddle the threshold both ways
+    val texts = (0 until 12).flatMap { c =>
+      val base = Seq.fill(10 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      (0 until 3).map { k =>
+        val mutated = base.map(t => if (rnd.nextInt(10) < k * 2) vocab(rnd.nextInt(vocab.size)) else t)
+        mutated.mkString(" ")
+      }
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.75, 0.95)) {
+      val got = Dedup.tokenJaccardPairs(docs, "text", "doc_id", blockKey = lit(0), threshold = t)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b, math.round(j * 1e9)) }.toSet
+      val sets = texts.zipWithIndex.map { case (s, i) => i.toLong -> s.split(" ").distinct.toSet }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        j = (sa & sb).size.toDouble / (sa | sb).size.toDouble if j >= t
+      } yield (a, b, math.round(j * 1e9))).toSet
+      assert(got === want, s"threshold $t")
+    }
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
