@@ -94,21 +94,67 @@ object Similarity {
       Seq(col("cos").desc, col("match_id").asc), k)
   }
 
-  /** IVF-style ANN: a coarse quantizer (the first `nLists` vectors act as
-    * deterministic seed centroids) partitions the corpus into inverted lists;
-    * each query probes its `nProbe` nearest lists (corpus vectors always live
-    * in exactly ONE list, so a (query, match) pair arises via at most one
-    * probe — no dedup step). Against brute force this divides the scanned
-    * corpus by ~nLists/nProbe; nProbe is the standard IVF recall knob
-    * (probe-1 = fastest/lowest recall, nProbe = nLists degenerates to exact).
-    * A trained k-means quantizer slots in by swapping the seed table — the
-    * dataflow (assign via argmax seed-cosine → equi-join on list id → local
-    * top-k) is identical, and every step is integer-exact, so the whole index
-    * build + search is oracle-verifiable. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              embCol: String, nLists: Int, k: Int, nProbe: Int = 1): DataFrame = {
-    val seeds = corpus.filter(col(idCol) < nLists)
+  /** Deterministic Lloyd-trained coarse quantizer for [[ivfTopK]]: start from
+    * the first `nLists` vectors as seeds and run `iters` fixed k-means rounds.
+    * Every step is cross-engine exact, so the trained index is
+    * oracle-verifiable end-to-end:
+    *  - assignment: argmax seed-cosine over integer vectors (ties → smallest
+    *    list id) — integer dot products, deterministic;
+    *  - update: element-wise floor(sum / count) back to integer milliunits.
+    *    sum and count are exact integers; the one double division is safe
+    *    because floor(s/n) can only be wrong within one ulp of an integer
+    *    boundary, impossible for |s| ≤ 2^53/1e3 and n < 1e7 — and IEEE
+    *    division + floor round identically in any engine;
+    *  - an emptied list keeps its previous centroid (left join + coalesce),
+    *    so nLists is invariant across rounds.
+    * The per-round dataflow is one broadcast-assign (n × nLists bounded rows)
+    * and one (list, dim)-keyed aggregate with map-side partials — both scale
+    * linearly in corpus size; the tiny (nLists rows) centroid table is
+    * eagerly checkpointed per round so the loop's lineage stays flat. */
+  def kmeansSeeds(corpus: DataFrame, idCol: String, embCol: String,
+                  nLists: Int, iters: Int): DataFrame = {
+    val emb = corpus.select(col(idCol).as("vid"), quantize(col(embCol)).as("v"))
+    var seeds = corpus.filter(col(idCol) < nLists)
       .select(col(idCol).as("list_id"), quantize(col(embCol)).as("sv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = graft.ops.DistinctOn.topK(
+        emb.crossJoin(broadcast(seeds))
+          .select(col("vid"), col("v"), col("list_id"), qcosine(col("v"), col("sv")).as("c")),
+        Seq(col("vid")), Seq(col("c").desc, col("list_id").asc), 1)
+      val updated = assigned.select(col("list_id"), posexplode(col("v")))
+        .groupBy("list_id", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .groupBy("list_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            floor(col("s").cast("double") / col("n").cast("double")).as("m")))),
+          x => x.getField("m")).as("nsv"))
+      seeds = seeds.join(updated, Seq("list_id"), "left")
+        .select(col("list_id"), coalesce(col("nsv"), col("sv")).as("sv"))
+        .localCheckpoint(true)
+    }
+    seeds
+  }
+
+  /** IVF-style ANN: a coarse quantizer (the first `nLists` vectors as
+    * deterministic seed centroids, Lloyd-refined for `trainIters` rounds via
+    * [[kmeansSeeds]] when `trainIters` > 0) partitions the corpus into
+    * inverted lists; each query probes its `nProbe` nearest lists (corpus
+    * vectors always live in exactly ONE list, so a (query, match) pair arises
+    * via at most one probe — no dedup step). Against brute force this divides
+    * the scanned corpus by ~nLists/nProbe; nProbe is the standard IVF recall
+    * knob (probe-1 = fastest/lowest recall, nProbe = nLists degenerates to
+    * exact). The dataflow (assign via argmax seed-cosine → equi-join on list
+    * id → local top-k) is identical trained or not, and every step is
+    * integer-exact, so the whole index build + search is oracle-verifiable. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, nLists: Int, k: Int, nProbe: Int = 1,
+              trainIters: Int = 0): DataFrame = {
+    val seeds =
+      if (trainIters > 0) kmeansSeeds(corpus, idCol, embCol, nLists, trainIters)
+      else corpus.filter(col(idCol) < nLists)
+        .select(col(idCol).as("list_id"), quantize(col(embCol)).as("sv"))
 
     // assign a vector set to its `p` nearest seeds (ties -> smallest list id)
     def assign(df: DataFrame, outId: String, p: Int): DataFrame = {

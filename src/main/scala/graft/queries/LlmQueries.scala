@@ -142,6 +142,15 @@ object LlmQueries {
         nLists = 16, k = 5, nProbe = 4)
     }),
 
+    // IVF with a TRAINED coarse quantizer: 2 deterministic Lloyd rounds
+    // refine the seed centroids before the lists are built (the oracle
+    // mirrors the exact integer-arithmetic rounds in SQL)
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nLists = 16, k = 5, nProbe = 1, trainIters = 2)
+    }),
+
     // token counting: whitespace + BPE-ish regex subword count
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -317,6 +326,47 @@ object LlmQueries {
          |  FROM assigned q JOIN assigned c ON q.list_id = c.list_id
          |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
          |WHERE rn <= 5""".stripMargin,
+
+    "q_ann_ivf_kmeans" -> {
+      // one Lloyd round: assign all vectors to their argmax-cosine seed, then
+      // rebuild each centroid as the element-wise floor(sum/count); lists
+      // that empty out keep their previous centroid
+      def round(sIn: String, sOut: String) =
+        s"""a_$sOut AS (
+           |  SELECT vec_id, qv, list_id FROM (
+           |    SELECT x.vec_id, x.qv, s.list_id,
+           |      row_number() OVER (PARTITION BY x.vec_id
+           |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+           |    FROM v x CROSS JOIN $sIn s) t
+           |  WHERE rn = 1),
+           |u_$sOut AS (
+           |  SELECT list_id, i, SUM(qv[i]) AS sm, COUNT(*) AS n
+           |  FROM a_$sOut, UNNEST(generate_series(1, 64)) AS t(i)
+           |  GROUP BY list_id, i),
+           |g_$sOut AS (
+           |  SELECT list_id, list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS sv
+           |  FROM u_$sOut GROUP BY list_id),
+           |$sOut AS (
+           |  SELECT s.list_id, COALESCE(g.sv, s.sv) AS sv
+           |  FROM $sIn s LEFT JOIN g_$sOut g USING (list_id))""".stripMargin
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
+         |s0 AS (SELECT vec_id AS list_id, qv AS sv FROM v WHERE vec_id < 16),
+         |${round("s0", "s1")},
+         |${round("s1", "s2")},
+         |assigned AS (
+         |  SELECT vec_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM v x CROSS JOIN s2 s) a
+         |  WHERE rn = 1)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
+         |  FROM assigned q JOIN assigned c ON q.list_id = c.list_id
+         |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
+         |WHERE rn <= 5""".stripMargin
+    },
 
     "q_ann_ivf_multiprobe" ->
       s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),

@@ -165,6 +165,37 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2L) === "fr")
   }
 
+  test("kmeans-trained IVF: centroids converge onto the clusters and recall brute-force top-1") {
+    // Two tight clusters; both initial seeds (ids 0, 1) lean toward cluster A,
+    // with seed 1 tilted enough that Lloyd rounds pull it onto cluster B.
+    val data = (Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.7f, 0.714f, 0.0f, 0.0f))) ++
+      (2L to 4L).map(i => (i, Array(0.995f, 0.01f * i, 0.0f, 0.0f))) ++
+      (5L to 9L).map(i => (i, Array(0.01f * (i - 5), 1.0f, 0.0f, 0.0f)))
+    ).toDF("vec_id", "embedding")
+
+    val seeds = Similarity.kmeansSeeds(data, "vec_id", "embedding", nLists = 2, iters = 3)
+      .orderBy("list_id").collect().map(r => r.getSeq[Long](1))
+    assert(seeds.length === 2)
+    assert(seeds.forall(_.length === 4))
+    // one centroid dominated by dim 1 (cluster A), the other by dim 2 (cluster B)
+    assert(seeds(0)(0) > seeds(0)(1))
+    assert(seeds(1)(1) > seeds(1)(0))
+    // deterministic: retraining yields bit-identical centroids
+    val again = Similarity.kmeansSeeds(data, "vec_id", "embedding", nLists = 2, iters = 3)
+      .orderBy("list_id").collect().map(r => r.getSeq[Long](1))
+    assert(seeds.toSeq.map(_.toSeq) === again.toSeq.map(_.toSeq))
+
+    // with separated centroids, probe-1 IVF recalls the exact top-1 everywhere
+    val trained = Similarity.ivfTopK(data, data, "vec_id", "embedding",
+      nLists = 2, k = 1, nProbe = 1, trainIters = 3)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toMap
+    val exact = Similarity.bruteForceTopK(data, data, "vec_id", "embedding", k = 1)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toMap
+    assert(trained === exact)
+  }
+
   test("multimodal stub decode extracts deterministic metadata distributed") {
     val media = Multimodal.asMedia(corpus, "doc_id", "text")
     val meta = Multimodal.extractMeta(media).collect().map(m => m.id -> m).toMap
