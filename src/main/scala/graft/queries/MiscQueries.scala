@@ -120,6 +120,47 @@ object MiscQueries {
       val cached = orders.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"), lit("cached").as("src"))
       Incremental.mergeKeepFirst(newRun, cached, Seq("o_orderkey"))
+    }),
+
+    // S8/S9 end-to-end under the oracle gate: a CrawlNode drives TWO rounds
+    // against a LocalFsSource whose content derives deterministically from
+    // the nation/region tables. Round 1 fetches every nation key (plain
+    // GET). Between rounds, nationkey%5==0 files change (round 2 must 200
+    // and overwrite), %5==1 files vanish upstream (conditional fetch sees
+    // Gone; the CACHED row must survive the keep-first merge), the rest are
+    // untouched (304 -> cached row survives), and region names appear as
+    // brand-new trigger keys (plain GET, appended). The returned snapshot is
+    // the node's second-run output read back from the Catalog — exercising
+    // trigger -> conditional fetch -> merge -> {id}_cache snapshot state,
+    // reference examples/canon/crawl.py:117-153.
+    "q_crawl_incremental" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets
+      import java.nio.file.Files
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val regions = t(s, dir, "region").select(col("r_name").cast("string"))
+        .collect().map(_.getString(0))
+      val tmp = Files.createTempDirectory("graft_crawl_")
+      graft.TempCleanup.deleteOnExit(tmp) // result parquet is read lazily; clean at JVM exit
+      val srcDir = Files.createDirectory(tmp.resolve("src"))
+      def put(key: String, rev: Int): Unit = {
+        Files.write(srcDir.resolve(key + ".json"),
+          s"""{"key":"$key","rev":$rev}""".getBytes(StandardCharsets.UTF_8))
+        ()
+      }
+      nations.foreach { case (_, name) => put(name, 1) }
+      val source = graft.sources.LocalFsSource(srcDir.toString)
+      val cat = new graft.engine.Catalog(s, tmp.resolve("cat").toString)
+      val node = new graft.sources.CrawlNode("crawl", source, "crawl_latest")
+      node.execute(cat)
+      nations.foreach { case (k, name) =>
+        if (k % 5 == 0) put(name, 2)
+        else if (k % 5 == 1) Files.delete(srcDir.resolve(name + ".json"))
+      }
+      regions.foreach(put(_, 1))
+      node.execute(cat)
+      cat.read("crawl_latest")
     })
   )
 
@@ -195,6 +236,21 @@ object MiscQueries {
         |    SELECT o_orderkey, o_totalprice, 'new' AS src, 0 AS pref FROM orders WHERE o_orderkey % 3 = 0
         |    UNION ALL
         |    SELECT o_orderkey, o_totalprice, 'cached' AS src, 1 AS pref FROM orders WHERE o_orderkey % 2 = 0) u) r
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+
+    // mirrors the crawl's final snapshot: nations keep rev 1 except the
+    // %5==0 updates (rev 2); %5==1 deletions survive from cache at rev 1;
+    // regions join as new keys; etag is the MD5 content digest both engines
+    // compute over identical byte strings
+    "q_crawl_incremental" ->
+      """WITH nat AS (
+        |  SELECT n_name AS name,
+        |    '{"key":"' || n_name || '","rev":' ||
+        |      CASE WHEN n_nationkey % 5 = 0 THEN '2' ELSE '1' END || '}' AS latest
+        |  FROM nation),
+        |reg AS (
+        |  SELECT r_name AS name, '{"key":"' || r_name || '","rev":1}' AS latest FROM region),
+        |u AS (SELECT * FROM nat UNION ALL SELECT * FROM reg)
+        |SELECT name, latest, md5(latest) AS etag FROM u""".stripMargin
   )
 }
