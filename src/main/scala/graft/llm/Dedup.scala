@@ -219,22 +219,27 @@ object Dedup {
     * `minLen` characters are noise (abbreviations, list bullets) and are
     * skipped. One map-side-combinable shuffle on the span digest — the same
     * shape as [[exact]], so it scales identically. Output per repeated span:
-    * (digest, keep_id = min owning doc, span_cnt, doc_cnt); a downstream
-    * rewrite pass would keep the span only in keep_id.
+    * (digest, keep_id = min owning doc, keep_pos = the span's first position
+    * within keep_id, span_cnt, doc_cnt); a downstream rewrite pass keeps the
+    * span only at (keep_id, keep_pos) and excises every other occurrence.
     *
-    * posexplode keeps the span's position so the canonical owner is
-    * deterministic: ties on doc id cannot arise (min doc id), and the
-    * position makes the row usable for actual span excision. */
+    * The canonical (keep_id, keep_pos) rides the aggregate as one
+    * `min(struct(id, pos))` — lexicographic struct ordering picks the
+    * smallest doc id, then the earliest position within it, deterministic
+    * and map-side combinable like the counts. */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
                 minLen: Int = 20): DataFrame =
     df.repartition(col(idCol))
       .select(col(idCol), posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "span")))
       .filter(length(col("span")) >= minLen)
       .groupBy(md5(col("span")).as("digest"))
-      .agg(min(col(idCol)).as("keep_id"),
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("pos"))).as("keep"),
         count(lit(1)).as("span_cnt"),
         countDistinct(col(idCol)).as("doc_cnt"))
       .filter(col("span_cnt") > 1)
+      .select(col("digest"), col("keep.id").as("keep_id"),
+        col("keep.pos").cast("long").as("keep_pos"),
+        col("span_cnt"), col("doc_cnt"))
 
   /** 16-bit SimHash over whitespace tokens: per bit, majority vote of the
     * token-hash bits (nibbles of md5 hex). Fingerprints with small hamming

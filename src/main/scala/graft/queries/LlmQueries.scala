@@ -244,12 +244,15 @@ object LlmQueries {
     },
 
     "q_dedup_spans" ->
-      """WITH s AS (
-        |  SELECT doc_id, unnest(string_split(text, '. ')) AS span FROM documents)
-        |SELECT md5(span) AS digest, min(doc_id) AS keep_id,
-        |  count(*) AS span_cnt, count(DISTINCT doc_id) AS doc_cnt
-        |FROM s WHERE length(span) >= 20
-        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+      """WITH d AS (SELECT doc_id, string_split(text, '. ') AS sl FROM documents),
+        |s AS (
+        |  SELECT doc_id, i - 1 AS pos, sl[i] AS span
+        |  FROM d, UNNEST(generate_series(1, len(sl))) AS t(i))
+        |SELECT digest, keep.id AS keep_id, keep.pos AS keep_pos, span_cnt, doc_cnt FROM (
+        |  SELECT md5(span) AS digest, min({'id': doc_id, 'pos': pos}) AS keep,
+        |    count(*) AS span_cnt, count(DISTINCT doc_id) AS doc_cnt
+        |  FROM s WHERE length(span) >= 20
+        |  GROUP BY 1 HAVING count(*) > 1) g""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

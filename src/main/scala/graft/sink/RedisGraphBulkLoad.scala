@@ -34,9 +34,12 @@ object RedisGraphBulkLoad {
     * unverified extension of that contract. The merge is driver-local IO,
     * fine at export scale: the bulk loader itself is a single process, so a
     * graph small enough to bulk-insert is small enough to concatenate.
-    * Since the merged filename no longer carries the label, it is passed
-    * with the explicit-label flags (`--nodes-with-label LABEL FILE` /
-    * `--relations-with-type TYPE FILE`).
+    * Merged files land in a fresh per-call temp STAGING dir (deleted at JVM
+    * exit), never inside the export directory — building an argv must not
+    * mutate the export artifact (and dry-run/test invocations stay free of
+    * side effects on it). Since the merged filename no longer carries the
+    * label, it is passed with the explicit-label flags
+    * (`--nodes-with-label LABEL FILE` / `--relations-with-type TYPE FILE`).
     *
     * @param exportDir directory holding `node_<label>` / `link_<rel>` CSVs
     * @param url       redis endpoint (reference: redis://localhost:9001)
@@ -56,7 +59,7 @@ object RedisGraphBulkLoad {
           case Seq() => Seq.empty // zero-row export: no entities of this label
           case Seq(one) => Seq(labeledFlag, label, s"$exportDir/$entry/$one")
           case many =>
-            val merged = mergeParts(s"$exportDir/$entry", many)
+            val merged = mergeParts(s"$exportDir/$entry", many, entry)
             Seq(labeledFlag, label, merged)
         }
       } else Seq(plainFlag, s"$exportDir/$entry")
@@ -69,20 +72,30 @@ object RedisGraphBulkLoad {
       "--enforce-schema", "--skip-invalid-nodes", "--skip-invalid-edges") ++ nodes ++ links
   }
 
-  /** True iff the CSV has at least one row after the S7 header line. Reads at
-    * most two lines — never the whole file. */
+  /** True iff the CSV has at least one NON-BLANK row after the S7 header
+    * line. Spark's text writer does not emit blank lines, but a hand-edited
+    * or foreign part file with a trailing newline must not be classified as
+    * data-bearing. Reads until the first data row — never the data body. */
   private def hasDataRow(path: String): Boolean = {
     val r = Files.newBufferedReader(Paths.get(path), StandardCharsets.UTF_8)
-    try r.readLine() != null && r.readLine() != null finally r.close()
+    try {
+      if (r.readLine() == null) false // no header at all
+      else Iterator.continually(r.readLine()).takeWhile(_ != null).exists(_.nonEmpty)
+    } finally r.close()
   }
 
-  /** Concatenate data-bearing part files into `<dir>/merged.csv`: the first
-    * part's header line leads, every other part's header is dropped (the S7
-    * contract writes the identical typed header on each part). Deterministic:
-    * parts arrive sorted, output is overwritten atomically via temp+move. */
-  private def mergeParts(dir: String, parts: Seq[String]): String = {
-    val out = Paths.get(dir, "merged.csv")
-    val tmp = Paths.get(dir, ".merged.csv.tmp")
+  /** Concatenate data-bearing part files into `merged.csv` inside a fresh
+    * temp staging dir (registered for JVM-exit deletion): the first part's
+    * header line leads, every other part's header is dropped (the S7
+    * contract writes the identical typed header on each part), and blank
+    * lines never propagate to the loader. Deterministic: parts arrive
+    * sorted; the write goes to a temp file promoted by an ATOMIC_MOVE
+    * within the same staging dir. */
+  private def mergeParts(dir: String, parts: Seq[String], entry: String): String = {
+    val staging = Files.createTempDirectory(s"graft_bulkload_${entry}_")
+    graft.TempCleanup.deleteOnExit(staging)
+    val out = staging.resolve("merged.csv")
+    val tmp = staging.resolve(".merged.csv.tmp")
     val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
@@ -91,11 +104,13 @@ object RedisGraphBulkLoad {
         try {
           val it = lines.iterator().asScala
           if (i > 0 && it.hasNext) it.next() // skip the repeated header
-          it.foreach { l => w.write(l); w.newLine() }
+          it.filter(_.nonEmpty).foreach { l => w.write(l); w.newLine() }
         } finally lines.close()
       }
     } finally w.close()
-    Files.move(tmp, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, out,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     out.toString
   }
 

@@ -165,6 +165,22 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2L) === "fr")
   }
 
+  test("span dedup: repeated spans report min owning doc and its earliest position") {
+    val boiler = "this exact legal boilerplate sentence repeats everywhere"
+    val docs = Seq(
+      (7L, s"unique seven opening sentence here. $boiler. tail seven"),
+      (3L, s"$boiler. unique three sentence content here. $boiler"),
+      (9L, s"unique nine sentence content here. $boiler")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "text", "doc_id", minLen = 20).collect()
+    val row = out.find(_.getAs[Long]("span_cnt") == 4L).get
+    assert(row.getAs[Long]("keep_id") === 3L)   // min doc id owning the span
+    assert(row.getAs[Long]("keep_pos") === 0L)  // earliest occurrence within doc 3
+    assert(row.getAs[Long]("doc_cnt") === 3L)
+    // the other >=20-char spans are unique -> only the boilerplate row remains
+    assert(out.count(_.getAs[Long]("span_cnt") > 1) === 1)
+  }
+
   test("kmeans-trained IVF: centroids converge onto the clusters and recall brute-force top-1") {
     // Two tight clusters; both initial seeds (ids 0, 1) lean toward cluster A,
     // with seed 1 tilted enough that Lloyd rounds pull it onto cluster B.

@@ -57,11 +57,16 @@ class BulkLoadSpec extends AnyFunSuite {
     part("part-00000", hdr, "\"p1\",\"a\"")
     part("part-00001", hdr) // empty Spark partition: header only
     part("part-00002", hdr, "\"p2\",\"b\"", "\"p3\",\"c\"")
+    part("part-00003", hdr, "") // header + trailing blank line: NOT data-bearing
     val cmd = RedisGraphBulkLoad.command(dir.toString, "redis://h:1", "G")
     // exactly ONE descriptor for the label, pointing at the merged file
     assert(cmd.count(_ == "--nodes-with-label") === 1)
     val merged = cmd(cmd.indexOf("--nodes-with-label") + 2)
-    assert(merged === s"$sub/merged.csv")
+    // merged into a staging dir, NEVER into the export artifact
+    assert(merged.endsWith("/merged.csv"))
+    assert(!merged.startsWith(dir.toString))
+    assert(Option(sub.toFile.list()).get.toSet ===
+      Set("part-00000", "part-00001", "part-00002", "part-00003"))
     val lines = scala.io.Source.fromFile(merged).getLines().toSeq
     assert(lines === Seq(hdr, "\"p1\",\"a\"", "\"p2\",\"b\"", "\"p3\",\"c\""))
   }
