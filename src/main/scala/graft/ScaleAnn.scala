@@ -1,0 +1,117 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Off-toy scale proof for the ANN layer (round-6 verdict stretch item):
+  * synthesize `SCALE_COPIES`× the sf0.1 embeddings table with deterministic
+  * per-copy perturbations, then measure on the same query batch:
+  *
+  *  - `train_sec`  — one Lloyd round of [[graft.llm.Similarity.kmeansSeeds]]
+  *    (the index-build cost a production deployment amortizes);
+  *  - `ivf1_sec` / `ivf8_sec` — trained IVF search at nProbe=1/8 using the
+  *    SAME precomputed seed table (per-batch marginal cost; the nProbe gap
+  *    isolates probe-volume scaling);
+  *  - `brute_sec`  — exact brute-force top-k on the identical batch;
+  *  - `recall8`    — |IVF∩exact| / |exact| at nProbe=8;
+  *  - per-phase straggler ratio (max/median task time within a stage, worst
+  *    stage with ≥ 8 non-trivial tasks) — list skew would show here.
+  *
+  * Run with e.g. SCALE_COPIES=100 → 500k vectors (64-dim).
+  */
+object ScaleAnn {
+
+  def main(args: Array[String]): Unit = {
+    val copies = sys.env.getOrElse("SCALE_COPIES", "100").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nLists = sys.env.getOrElse("SCALE_NLISTS", "64").toInt
+    val nQueries = sys.env.getOrElse("SCALE_NQUERIES", "200").toInt
+    val k = 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val durations = new ConcurrentLinkedQueue[(Int, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        durations.add((te.stageId, te.taskInfo.duration)); ()
+      }
+    })
+    def straggler(): Double = {
+      val byStage = durations.toArray(Array.empty[(Int, Long)])
+        .groupBy(_._1).values.map(_.map(_._2).filter(_ >= 200).sorted)
+        .filter(_.length >= 8)
+      val r = if (byStage.isEmpty) 1.0
+        else byStage.map(ts => ts.last.toDouble / ts(ts.length / 2).toDouble).max
+      durations.clear()
+      r
+    }
+
+    // --- scaled corpus: copy 0 original; copy i>0 perturbs every dimension
+    // by a deterministic hash-derived offset in [-0.05, 0.05] — materialized
+    // and re-read like a real input table
+    val work = java.nio.file.Files.createTempDirectory("graft_scale_ann")
+    TempCleanup.deleteOnExit(work)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(spark.range(copies).select(col("id").as("i")))
+      .repartition(n, col("vec_id"), col("i"))
+      .select(
+        (col("vec_id") * copies + col("i")).as("vec_id"),
+        expr("""CASE WHEN i = 0 THEN embedding
+             |  ELSE transform(embedding, (x, j) ->
+             |    CAST(x + (xxhash64(vec_id, i, j) % 101) * 0.001 AS FLOAT))
+             |END""".stripMargin).as("embedding"))
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val corpus = spark.read.parquet(s"$work/embeddings.parquet")
+    val nVecs = corpus.count()
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    durations.clear()
+
+    import graft.llm.Similarity
+
+    val t0 = System.nanoTime()
+    val seeds = Similarity.kmeansSeeds(corpus, "vec_id", "embedding", nLists, iters = 1)
+      .localCheckpoint(true)
+    seeds.count()
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val trainStraggler = straggler()
+
+    def searchIvf(nProbe: Int): (Double, Double, org.apache.spark.sql.DataFrame) = {
+      val t = System.nanoTime()
+      val out = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        nLists = nLists, k = k, nProbe = nProbe, seedTable = Some(seeds))
+        .localCheckpoint(true)
+      out.count()
+      ((System.nanoTime() - t) / 1e9, straggler(), out)
+    }
+    val (ivf1Sec, ivf1Straggler, _) = searchIvf(1)
+    val (ivf8Sec, ivf8Straggler, ivf8) = searchIvf(8)
+
+    val t1 = System.nanoTime()
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = k)
+      .localCheckpoint(true)
+    val nExact = exact.count()
+    val bruteSec = (System.nanoTime() - t1) / 1e9
+    val bruteStraggler = straggler()
+
+    val hits = ivf8.select("query_id", "match_id")
+      .intersect(exact.select("query_id", "match_id")).count()
+    val recall8 = hits.toDouble / nExact
+
+    println(s"""{"metric":"scale_ann","copies":$copies,"vectors":$nVecs,"n_lists":$nLists,""" +
+      s""""queries":$nQueries,"k":$k,"train_sec":$trainSec,"ivf1_sec":$ivf1Sec,""" +
+      s""""ivf8_sec":$ivf8Sec,"brute_sec":$bruteSec,"recall8":$recall8,""" +
+      s""""stragglers":{"train":$trainStraggler,"ivf1":$ivf1Straggler,""" +
+      s""""ivf8":$ivf8Straggler,"brute":$bruteStraggler}}""")
+    spark.stop()
+  }
+}

@@ -38,15 +38,26 @@ object Similarity {
     expr(s"aggregate(transform(slice(${c.toString}, 1, $planes), " +
       s"(x, i) -> shiftleft(CAST(CAST(x AS DOUBLE) >= 0.0 AS BIGINT), i)), 0L, (acc, v) -> acc + v)")
 
+  /** Cosine from a precomputed-norm pair: `qdot(a,a)`/`qdot(b,b)` are
+    * constant per VECTOR, so recomputing them per PAIR (what a literal
+    * `qcosine` in a join does) triples the arithmetic of every candidate
+    * scoring join. Each side carries its norm column instead; the value is
+    * bit-identical (same integer self-dot, same IEEE sqrt, evaluated once). */
+  private def normedCos(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
   /** Brute-force cosine top-k: each query row against the whole corpus.
     * `queries` must be small (it is broadcast); ranking ties break on id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      embCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
     val c = corpus.select(col(idCol).as("match_id"), quantize(col(embCol)).as("cv"))
+      .withColumn("cn", qdot(col("cv"), col("cv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("match_id"))
-      .select(col("query_id"), col("match_id"), qcosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("match_id"),
+        normedCos(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
     graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("match_id").asc), k)
   }
@@ -58,11 +69,14 @@ object Similarity {
                  embCol: String, planes: Int, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"),
       signBucket(col(embCol), planes).as("bucket"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
     val c = corpus.select(col(idCol).as("match_id"), quantize(col(embCol)).as("cv"),
       signBucket(col(embCol), planes).as("bucket"))
+      .withColumn("cn", qdot(col("cv"), col("cv")))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("match_id"))
-      .select(col("query_id"), col("match_id"), qcosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("match_id"),
+        normedCos(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
     graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("match_id").asc), k)
   }
@@ -85,11 +99,14 @@ object Similarity {
     }
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"),
       probeBuckets.as("bucket"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
     val c = corpus.select(col(idCol).as("match_id"), quantize(col(embCol)).as("cv"),
       signBucket(col(embCol), planes).as("bucket"))
+      .withColumn("cn", qdot(col("cv"), col("cv")))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("match_id"))
-      .select(col("query_id"), col("match_id"), qcosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("match_id"),
+        normedCos(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
     graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("match_id").asc), k)
   }
@@ -114,13 +131,16 @@ object Similarity {
   def kmeansSeeds(corpus: DataFrame, idCol: String, embCol: String,
                   nLists: Int, iters: Int): DataFrame = {
     val emb = corpus.select(col(idCol).as("vid"), quantize(col(embCol)).as("v"))
+      .withColumn("vn", qdot(col("v"), col("v")))
     var seeds = corpus.filter(col(idCol) < nLists)
       .select(col(idCol).as("list_id"), quantize(col(embCol)).as("sv"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      val s = seeds.withColumn("sn", qdot(col("sv"), col("sv")))
       val assigned = graft.ops.DistinctOn.topK(
-        emb.crossJoin(broadcast(seeds))
-          .select(col("vid"), col("v"), col("list_id"), qcosine(col("v"), col("sv")).as("c")),
+        emb.crossJoin(broadcast(s))
+          .select(col("vid"), col("v"), col("list_id"),
+            normedCos(qdot(col("v"), col("sv")), col("vn"), col("sn")).as("c")),
         Seq(col("vid")), Seq(col("c").desc, col("list_id").asc), 1)
       val updated = assigned.select(col("list_id"), posexplode(col("v")))
         .groupBy("list_id", "pos")
@@ -150,30 +170,37 @@ object Similarity {
     * integer-exact, so the whole index build + search is oracle-verifiable. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, nLists: Int, k: Int, nProbe: Int = 1,
-              trainIters: Int = 0): DataFrame = {
-    val seeds =
+              trainIters: Int = 0, seedTable: Option[DataFrame] = None): DataFrame = {
+    // seedTable lets a caller train once (kmeansSeeds, persisted like any
+    // index artifact) and amortize the quantizer across query batches — the
+    // production IVF lifecycle. Expected schema: (list_id, sv: array<bigint>).
+    val seeds = seedTable.getOrElse {
       if (trainIters > 0) kmeansSeeds(corpus, idCol, embCol, nLists, trainIters)
       else corpus.filter(col(idCol) < nLists)
         .select(col(idCol).as("list_id"), quantize(col(embCol)).as("sv"))
+    }.withColumn("sn", qdot(col("sv"), col("sv")))
 
     // assign a vector set to its `p` nearest seeds (ties -> smallest list id)
     def assign(df: DataFrame, outId: String, p: Int): DataFrame = {
       // bounded cross: every vector scores all nLists seeds (what a coarse
       // quantizer is); seeds are broadcast, n × nLists rows total
       val scored = df.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
+        .withColumn("vn", qdot(col("v"), col("v")))
         .crossJoin(broadcast(seeds))
-        .select(col(outId), col("v"), col("list_id"), qcosine(col("v"), col("sv")).as("c"))
+        .select(col(outId), col("v"), col("vn"), col("list_id"),
+          normedCos(qdot(col("v"), col("sv")), col("vn"), col("sn")).as("c"))
       graft.ops.DistinctOn.topK(
         scored, Seq(col(outId)), Seq(col("c").desc, col("list_id").asc), p)
-        .select(col(outId), col("list_id"), col("v"))
+        .select(col(outId), col("list_id"), col("v"), col("vn"))
     }
 
     val lists = assign(corpus, "match_id", 1)
     val probes = assign(queries, "query_id", nProbe)
-    val scored = probes.withColumnRenamed("v", "qv")
-      .join(lists.withColumnRenamed("v", "cv"), Seq("list_id"))
+    val scored = probes.withColumnRenamed("v", "qv").withColumnRenamed("vn", "qn")
+      .join(lists.withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn"), Seq("list_id"))
       .filter(col("query_id") =!= col("match_id"))
-      .select(col("query_id"), col("match_id"), qcosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("match_id"),
+        normedCos(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
     graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("match_id").asc), k)
   }
@@ -184,11 +211,13 @@ object Similarity {
                    planes: Int, threshold: Double): DataFrame = {
     val v = emb.select(col(idCol), quantize(col(embCol)).as("qv"),
       signBucket(col(embCol), planes).as("bucket"))
-    val l = v.select(col("bucket"), col(idCol).as("a"), col("qv").as("av"))
-    val r = v.select(col("bucket"), col(idCol).as("b"), col("qv").as("bv"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
+    val l = v.select(col("bucket"), col(idCol).as("a"), col("qv").as("av"), col("qn").as("an"))
+    val r = v.select(col("bucket"), col(idCol).as("b"), col("qv").as("bv"), col("qn").as("bn"))
     l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), qcosine(col("av"), col("bv")).as("cos"))
+      .select(col("a"), col("b"),
+        normedCos(qdot(col("av"), col("bv")), col("an"), col("bn")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
