@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle suite on this box — the auditable denominator for
+the Spark bench ratio.
+
+The Scala bench cannot embed DuckDB (driver-side tool only), so the per-round
+"how close to the oracle are we" ratio is produced here instead: run every
+SparkEntry.oracleSql statement in DuckDB over the same sf parquet tables the
+Spark bench reads, with the same discipline (one warm-up pass, then two timed
+passes interleaved suite-wide, per-query min), and emit one JSON line shaped
+like the Spark bench's so the two artifacts line up field-for-field.
+
+Usage: python3 tools/oracle_bench.py [sfdir] [threads]
+  sfdir   default /root/testdata/sf0.1
+  threads default 32 (matches the Spark bench's local[32])
+
+Requires target/scala-2.13/classes to be built (runs graft.Verify once to
+dump oracle_sql.json if it is not already present for this sfdir).
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+THREADS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = "/tmp/graft_oracle_bench"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def dump_oracle_sql():
+    """Run graft.Verify (cheapest available dump of SparkEntry.oracleSql)."""
+    classes = os.path.join(REPO, "target/scala-2.13/classes")
+    jars = glob.glob("/opt/spark/jars/*.jar")
+    cp = ":".join([classes] + jars)
+    add_opens = []
+    for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+              "java.net", "java.nio", "java.util", "java.util.concurrent",
+              "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+              "sun.security.action", "sun.util.calendar"]:
+        add_opens += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
+    cmd = ["java"] + add_opens + ["-Xmx8g", "-Dspark.ui.enabled=false",
+                                  "-cp", cp, "graft.Verify", SF, OUT]
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       env=dict(os.environ, SPARK_GRAFT_CPUS="8"))
+    if r.returncode != 0:
+        print(r.stderr[-2000:], file=sys.stderr)
+        sys.exit("verify failed; cannot dump oracle_sql.json")
+
+
+def main():
+    import duckdb
+    sql_path = os.path.join(OUT, "oracle_sql.json")
+    if not os.path.exists(sql_path):
+        dump_oracle_sql()
+    oracle = json.load(open(sql_path))
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {THREADS}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    names = sorted(oracle)
+
+    def once(name):
+        t0 = time.perf_counter()
+        try:
+            con.execute(oracle[name]).fetchall()
+            return time.perf_counter() - t0
+        except Exception as e:
+            print(f"[oracle] {name} FAILED: {e}", file=sys.stderr)
+            return -1.0
+
+    for name in names:  # warm-up (buffer cache, plan cache)
+        once(name)
+
+    best = {n: -1.0 for n in names}
+    for pas in (1, 2):  # interleaved suite-wide, like the Spark bench
+        for name in names:
+            try:
+                load = open("/proc/loadavg").read().split()[0]
+            except OSError:
+                load = "?"
+            sec = once(name)
+            print(f"[oracle][pass{pas}] {name} {sec:.2f}s load={load}", file=sys.stderr)
+            if sec >= 0:
+                best[name] = sec if best[name] < 0 else min(best[name], sec)
+
+    qs = ",".join(f'"{k}":{v}' for k, v in best.items())
+    failed = sum(1 for v in best.values() if v < 0)
+    total = sum(v for v in best.values() if v >= 0)
+    print(f'{{"metric":"oracle_total","value":{total},"unit":"sec",'
+          f'"queries":{{{qs}}},"failed":{failed},"threads":{THREADS},"sf":"{SF}"}}')
+
+
+if __name__ == "__main__":
+    main()
