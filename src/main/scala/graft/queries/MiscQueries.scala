@@ -102,6 +102,13 @@ object MiscQueries {
     "q_stream_window" -> ((s, dir) =>
       graft.streaming.Streams.windowedEventCounts(s, s"$dir/events.parquet")),
 
+    // streaming exact dedup: per-key state-store dedup over the same event
+    // stream — one row per distinct (user_id, event_type), batch-DISTINCT
+    // oracle (output is the key set, independent of which duplicate won)
+    "q_stream_dedup" -> ((s, dir) =>
+      graft.streaming.Streams.streamDedupKeys(s, s"$dir/events.parquet",
+        Seq("user_id", "event_type"))),
+
     // gap-based sessionization (30-min gap) — the canonical stateful
     // log-pipeline operator, batch formulation
     "q_sessionize" -> ((s, dir) => {
@@ -229,6 +236,9 @@ object MiscQueries {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "q_cache_merge" ->
       """SELECT o_orderkey, o_totalprice, src FROM (

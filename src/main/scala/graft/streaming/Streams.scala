@@ -65,4 +65,39 @@ object Streams {
     spark.streams.resetTerminated()
     out
   }
+
+  /** STREAMING exact dedup: the dedup pillar applied to a live feed — emit
+    * each distinct `keys` combination once, however many times and across
+    * however many micro-batches it arrives. `dropDuplicates` keeps
+    * per-key state in the state store, so emission is exactly-once per key;
+    * projecting the key columns only makes the result independent of WHICH
+    * duplicate won the race (deterministic against a batch DISTINCT oracle).
+    *
+    * Scale notes: state is one entry per distinct key (the key columns are
+    * the whole row here). On an unbounded feed where keys recur forever,
+    * swap in `dropDuplicatesWithinWatermark` to evict state after the
+    * watermark delay — same dataflow, time-bounded memory. */
+  def streamDedupKeys(spark: SparkSession, eventsDir: String,
+                      keys: Seq[String]): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val (base, glob) = {
+      val p = new java.io.File(eventsDir)
+      if (p.isFile) (p.getParent, p.getName) else (eventsDir, "*")
+    }
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(base)
+      .select(keys.map(col): _*)
+      .dropDuplicates(keys)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    out
+  }
 }

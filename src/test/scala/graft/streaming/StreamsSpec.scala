@@ -21,6 +21,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("streaming dedup emits each key once, including duplicates across files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    graft.TempCleanup.deleteOnExit(dir)
+    def file(n: Int, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/b$n.tmp")
+    // two parquet files with overlapping keys (the file stream lists both)
+    file(1, Seq((1L, 0L, 10L, "click", 1.0, "{}"), (2L, 1L, 10L, "click", 2.0, "{}"),
+      (3L, 2L, 11L, "view", 3.0, "{}")))
+    file(2, Seq((4L, 3L, 10L, "click", 4.0, "{}"), (5L, 4L, 12L, "view", 5.0, "{}")))
+    val flat = new java.io.File(dir.toString)
+    // flatten: move part files up as plain files the stream source lists
+    for (sub <- flat.listFiles() if sub.isDirectory) {
+      val part = sub.listFiles().find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        dir.resolve(sub.getName.stripSuffix(".tmp") + ".parquet"))
+      sub.listFiles().foreach(_.delete()); sub.delete()
+    }
+    val out = Streams.streamDedupKeys(spark, dir.toString, Seq("user_id", "event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((10L, "click"), (11L, "view"), (12L, "view")))
+  }
+
   test("streaming sessionizer carries open sessions across micro-batch runs via state") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ck").toString
