@@ -55,20 +55,44 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "he"))
 
-  /** Output: (id cols) + pred_lang + lang_score. Argmax via greatest() over
-    * (score, lang) structs — score ties deterministically pick the MAX lang
-    * code (struct comparison order), no shuffle at all. */
-  def langId(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+  /** The winning (score, lang) struct for a text column — argmax via
+    * greatest() over per-language structs; score ties deterministically pick
+    * the MAX lang code (struct comparison order), no shuffle at all.
+    * Exposed so pipelines can compose language-ID inline with other
+    * per-row columns (see the clean-corpus query). */
+  def langIdBest(c: Column): Column = {
     val scored = langProfiles.map { case (lang, words) =>
       struct(
-        (stopwordCount(col(textCol), words).cast("double") /
-          tokenCount(col(textCol)).cast("double")).as("score"),
+        (stopwordCount(c, words).cast("double") /
+          tokenCount(c).cast("double")).as("score"),
         lit(lang).as("lang"))
     }
-    val best = greatest(scored: _*)
+    greatest(scored: _*)
+  }
+
+  /** Output: (id cols) + pred_lang + lang_score. */
+  def langId(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val best = langIdBest(col(textCol))
     df.select(idCols.map(col) :+ best.getField("lang").as("pred_lang")
       :+ best.getField("score").as("lang_score"): _*)
   }
+
+  /** C4-style PII/URL scrubbing: redact URLs, then email addresses, then
+    * long digit runs (phone/account numbers), each with a portable
+    * RE2/Java-compatible pattern so a SQL oracle applies the identical
+    * rewrite. Order matters: URLs are redacted first because they can embed
+    * both '@' userinfo and digit runs; the digit pass runs last so it only
+    * sees numbers outside the two structured forms. Pure codegen'd
+    * regexp_replace chain — narrow, no shuffle. */
+  val urlRegex = "https?://[^ ]+"
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumberRegex = "[0-9]{7,}"
+  def scrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, urlRegex, "<URL>"),
+        emailRegex, "<EMAIL>"),
+      longNumberRegex, "<NUM>")
 
   /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1 quality
     * filters): duplicate word-bigram fraction and most-frequent-token

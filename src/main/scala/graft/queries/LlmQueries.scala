@@ -66,6 +66,26 @@ object LlmQueries {
 
   private val stopSql = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
 
+  /** The scrub regex chain over a SQL column expression — identical patterns
+    * and pass order to [[TextAnalysis.scrub]] ('g' flag: DuckDB replaces
+    * first-match-only by default, Spark replaces all). */
+  private def sqlScrub(c: String) =
+    "regexp_replace(regexp_replace(regexp_replace(" + c +
+      ", 'https?://[^ ]+', '<URL>', 'g')" +
+      ", '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')" +
+      ", '[0-9]{7,}', '<NUM>', 'g')"
+
+  /** Per-language stopword-profile scores (one SELECT per language,
+    * UNION ALL) over any table with (doc_id, text). */
+  private def sqlLangProfiles(table: String) =
+    TextAnalysis.langProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""SELECT doc_id, '$lang' AS lang,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN $set)) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   // ---- queries ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -171,6 +191,28 @@ object LlmQueries {
     // document fingerprint (min MD5 over char 8-grams)
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "text", "doc_id")),
+
+    // C4-style scrubbing: URL -> email -> long-digit-run redaction
+    "q_text_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.scrub(col("text")).as("clean_text"))),
+
+    // the composed preprocessing pipeline as ONE declarative plan: exact-dup
+    // winners only (min doc_id per content digest), token-count bounds,
+    // quality floor, inline language-ID, scrubbed text — one shuffle total
+    // (the dedup-winner aggregate; everything else is narrow codegen)
+    "q_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = docs.groupBy(md5(col("text")).as("digest"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val best = TextAnalysis.langIdBest(col("text"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .filter(TextAnalysis.tokenCount(col("text")).between(10, 10000))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), best.getField("lang").as("pred_lang"),
+          col("quality"), TextAnalysis.scrub(col("text")).as("clean_text"))
+    }),
 
     // Gopher-style repetition filters: dup-bigram + top-token fractions
     "q_text_repetition" -> ((s, dir) =>
@@ -410,19 +452,38 @@ object LlmQueries {
          |FROM documents""".stripMargin,
 
     "q_text_langid" -> {
-      val profiles = TextAnalysis.langProfiles.map { case (lang, words) =>
-        val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
-        s"""SELECT doc_id, '$lang' AS lang,
-           |  CAST(len(list_filter(string_split(text, ' '), x -> x IN $set)) AS DOUBLE)
-           |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
-           |FROM documents""".stripMargin
-      }.mkString("\nUNION ALL\n")
+      val profiles = sqlLangProfiles("documents")
       s"""WITH s AS ($profiles)
          |SELECT doc_id, lang AS pred_lang, score AS lang_score FROM (
          |  SELECT doc_id, lang, score,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
          |  FROM s) r WHERE rn = 1""".stripMargin
     },
+
+    "q_text_scrub" ->
+      s"""SELECT doc_id, ${sqlScrub("text")} AS clean_text FROM documents""",
+
+    "q_clean_corpus" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM keep)
+         |    AND len(string_split(text, ' ')) BETWEEN 10 AND 10000),
+         |q AS (
+         |  SELECT doc_id, text,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |    + least((CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 5.0, 1.0) * 0.25
+         |    + least(CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS DOUBLE)
+         |            / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0) * 0.25 AS quality
+         |  FROM d),
+         |s AS (${sqlLangProfiles("d")}),
+         |l AS (
+         |  SELECT doc_id, lang AS pred_lang FROM (
+         |    SELECT doc_id, lang,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+         |    FROM s) r WHERE rn = 1)
+         |SELECT q.doc_id, l.pred_lang, q.quality, ${sqlScrub("q.text")} AS clean_text
+         |FROM q JOIN l USING (doc_id) WHERE q.quality >= 0.5""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id, min(md5(sh)) AS fingerprint FROM (

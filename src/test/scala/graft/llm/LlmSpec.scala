@@ -154,6 +154,19 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2L) === ((3L, 0.0, 1.0 / 4.0)))
   }
 
+  test("scrub redacts urls before emails before digit runs") {
+    val df = Seq(
+      (1L, "visit https://example.com/a?id=12345678 or mail bob.smith+x@mail.example.org now"),
+      (2L, "call 5551234567 ext 42"),          // long run redacted, short '42' kept
+      (3L, "ftp://not-http stays, 123456 too") // 6 digits: below the 7+ threshold
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.scrub(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "visit <URL> or mail <EMAIL> now") // url digits eaten by <URL>
+    assert(out(2L) === "call <NUM> ext 42")
+    assert(out(3L) === "ftp://not-http stays, 123456 too")
+  }
+
   test("langId picks the profile with the most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),
