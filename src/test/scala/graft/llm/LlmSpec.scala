@@ -31,6 +31,37 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc excluded
   }
 
+  test("minhash cascade: zero false positives, exact jaccard, recalls seeded clone pairs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => f"tok$i%02d")
+    // 8 clusters of (base, one-token-mutated clone): true J ~ 0.9 per pair
+    val texts = (0 until 8).flatMap { c =>
+      val base = Vector.fill(30)(vocab(rnd.nextInt(vocab.size)))
+      Seq(base, base.updated(5 + c, s"zz$c")).map(_.mkString(" "))
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(docs, "text", "doc_id",
+      k = 5, numHashes = 8, bands = 4, threshold = 0.6)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    val sets = texts.map(_.sliding(5).toSet)
+    def jac(a: Long, b: Long): Double = {
+      val (sa, sb) = (sets(a.toInt), sets(b.toInt))
+      (sa & sb).size.toDouble / (sa | sb).size.toDouble
+    }
+    // the verify stage is exact set arithmetic: every emitted pair must carry
+    // the TRUE jaccard (bit-identical: same int counts, same division) and
+    // clear the threshold — LSH can lose borderline pairs, never invent them
+    out.foreach { case (a, b, j) =>
+      assert(j === jac(a, b), s"pair ($a,$b) jaccard mismatch")
+      assert(j >= 0.6)
+    }
+    // near-identical clones (J ~ 0.9) must survive banding + estimate + verify
+    for (c <- 0 until 8; a = 2L * c; b = 2L * c + 1) {
+      assert(jac(a, b) >= 0.8, s"fixture drift: clone pair ($a,$b) J=${jac(a, b)}")
+      assert(out.exists(p => p._1 == a && p._2 == b), s"cascade missed clone pair ($a,$b)")
+    }
+  }
+
   test("verified jaccard is exact set arithmetic") {
     val sh = Dedup.shingles(corpus, "text", "doc_id", 5)
     val cand = Seq((1L, 4L)).toDF("a", "b")
