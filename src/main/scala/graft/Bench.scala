@@ -112,23 +112,40 @@ object Bench {
 
     // Results are emitted even if a session rebuild dies mid-suite: a crash
     // in pass 2 must not discard every measurement already taken.
-    try {
-      for (pass <- 1 to 2) {
-        queries.foreach { case (name, fn) =>
-          val load = loadavg()
-          val t0 = System.nanoTime()
-          val sec =
-            try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-            catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                -1.0
-            }
-          System.err.println(f"[bench][pass$pass] $name $sec%.2fs load=$load")
-          val prev = best(name)
-          best(name) = if (sec < 0) prev else if (prev < 0) sec else math.min(prev, sec)
-          restart()
+    val samples = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    def measure(pass: String, name: String, fn: (SparkSession, String) => DataFrame): Unit = {
+      val load = loadavg()
+      val t0 = System.nanoTime()
+      val sec =
+        try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
         }
+      System.err.println(f"[bench][$pass] $name $sec%.2fs load=$load")
+      if (sec >= 0) samples(name) = sec :: samples(name)
+      val prev = best(name)
+      best(name) = if (sec < 0) prev else if (prev < 0) sec else math.min(prev, sec)
+      restart()
+    }
+    try {
+      for (pass <- 1 to 2)
+        queries.foreach { case (name, fn) => measure(s"pass$pass", name, fn) }
+      // Adaptive third sample: two samples that disagree by >1.5× mean at
+      // least one was taken under a load burst — exactly the case where
+      // min-of-2 can still overstate (the smaller sample may itself be
+      // inflated). Bounded extra cost: only the disagreeing queries re-run.
+      val unstable = queries.filter { case (name, _) =>
+        samples(name) match {
+          case a :: b :: _ => math.max(a, b) > 1.5 * math.min(a, b)
+          case _ => true // a failed sample: give it one more chance
+        }
+      }
+      if (unstable.nonEmpty) {
+        System.err.println(s"[bench] re-measuring ${unstable.size} unstable queries: " +
+          unstable.map(_._1).mkString(", "))
+        unstable.foreach { case (name, fn) => measure("pass3", name, fn) }
       }
     } catch {
       case e: Throwable =>
