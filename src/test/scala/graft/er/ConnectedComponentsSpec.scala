@@ -68,6 +68,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed path on a 2000-node random graph matches brute force") {
+    val rnd = new Random(99)
+    val n = 2000
+    val edges = Seq.fill(3000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+      (0L until 200L).map(i => (10 * i, 10 * i + 5)) // guaranteed extra structure
+    val cc = ConnectedComponents.run(edges.toDF("src", "dst"), driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === bruteForce(edges))
+  }
+
   test("string ids: both paths agree (flagship uses md5 hash ids)") {
     val edges = Seq(("b_x", "a_y"), ("a_y", "c_z"), ("d_1", "d_2")).toDF("src", "dst")
     val fast = ConnectedComponents.run(edges)
