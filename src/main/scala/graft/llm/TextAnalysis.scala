@@ -145,4 +145,35 @@ object TextAnalysis {
         expr(s"array_min(transform(sequence(1, length($textCol) - 7), i -> md5(substring($textCol, i, 8))))")
           .as("fingerprint"))
   }
+
+  /** Benchmark decontamination (the GPT-3 appendix-C / Pile n-gram-overlap
+    * family): flag training documents sharing at least `minHits` DISTINCT
+    * word `n`-grams with the benchmark corpus. Output: (id, n_shared) for
+    * flagged documents.
+    *
+    * Scale shape: each side explodes to per-doc-distinct gram postings
+    * (narrow transform + array_distinct, no pre-shuffle), the benchmark side
+    * is deduped globally, and the equi-join on the gram string matches each
+    * training posting against AT MOST ONE benchmark row — stop-gram skew
+    * cannot blow up the join the way a postings self-join would. The only
+    * shuffles are the benchmark distinct and the final per-doc count
+    * (map-side combinable); a small benchmark set broadcasts. */
+  def contaminationFlags(docs: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, n: Int, minHits: Int): DataFrame = {
+    // documents shorter than n tokens contribute an empty array — explode
+    // drops the row (sequence(1, 0) would be a DESCENDING range, not empty,
+    // hence the explicit CASE)
+    def gramCol =
+      explode(array_distinct(expr(
+        s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
+          s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
+          "ELSE array() END"))).as("g")
+    val dGrams = docs.select(col(idCol), gramCol)
+    val bGrams = bench.select(gramCol).distinct()
+    dGrams.join(bGrams, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minHits)
+  }
 }

@@ -192,6 +192,15 @@ object LlmQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "text", "doc_id")),
 
+    // benchmark decontamination: flag docs sharing >= 3 distinct word
+    // trigrams with the "benchmark" slice (doc_id < 50) of the corpus
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminationFlags(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "text", "doc_id", n = 3, minHits = 3)
+    }),
+
     // C4-style scrubbing: URL -> email -> long-digit-run redaction
     "q_text_scrub" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -459,6 +468,18 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
          |  FROM s) r WHERE rn = 1""".stripMargin
     },
+
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tw FROM documents),
+        |dg AS (SELECT DISTINCT doc_id, array_to_string(tw[i:i+2], ' ') AS g
+        |       FROM t, UNNEST(generate_series(1, len(tw) - 2)) AS s(i)
+        |       WHERE doc_id >= 50),
+        |bg AS (SELECT DISTINCT array_to_string(tw[i:i+2], ' ') AS g
+        |       FROM t, UNNEST(generate_series(1, len(tw) - 2)) AS s(i)
+        |       WHERE doc_id < 50)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM dg JOIN bg USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
 
     "q_text_scrub" ->
       s"""SELECT doc_id, ${sqlScrub("text")} AS clean_text FROM documents""",

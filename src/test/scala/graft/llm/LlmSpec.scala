@@ -198,6 +198,19 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) === "ftp://not-http stays, 123456 too")
   }
 
+  test("contamination flags docs sharing enough distinct trigrams with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta other words here"),   // shares 2 distinct trigrams... compute: a-b-g, b-g-d = 2
+      (2L, "alpha beta gamma delta epsilon more text"),  // shares 3: abg, bgd, gde
+      (3L, "completely unrelated text with no overlap"),
+      (4L, "xx")                                         // shorter than n: contributes nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationFlags(docs, bench, "text", "doc_id", n = 3, minHits = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 3L))
+  }
+
   test("langId picks the profile with the most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),
