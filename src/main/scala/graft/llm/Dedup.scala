@@ -338,24 +338,9 @@ object Dedup {
       .select(col("a"), col("b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // Statistics-gated static planning, same philosophy as the CC driver
-    // gate: this plan is 7 exchanges deep, and on a small corpus AQE's
-    // per-stage driver re-planning (~0.2s × 7 stages, measured 3.1s vs 1.4s
-    // at sf0.1) costs more than the whole query. The planner's own size
-    // estimate for the input (parquet file stats — free, no extra scan)
-    // decides: small input ⇒ run eagerly under static planning; large input
-    // ⇒ return the lazy plan and let AQE handle skew/coalescing where its
-    // cost amortizes. The conf flip is execution-scoped with restore —
-    // lazily returned plans execute under the session conf, so the gated
-    // branch must materialize inside the scope (eager localCheckpoint).
-    val smallInput = df.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
-    if (!smallInput) pairs
-    else {
-      val spark = df.sparkSession
-      val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try pairs.localCheckpoint(true)
-      finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    }
+    // this plan is 7 exchanges deep — on a small corpus AQE's per-stage
+    // driver re-planning costs more than the whole query (measured 3.1s vs
+    // 1.4s at sf0.1); see StaticScope for the gate semantics
+    graft.ops.StaticScope.materialize(df)(pairs)
   }
 }

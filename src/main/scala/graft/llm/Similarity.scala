@@ -131,28 +131,10 @@ object Similarity {
   def kmeansSeeds(corpus: DataFrame, idCol: String, embCol: String,
                   nLists: Int, iters: Int): DataFrame = {
     // Iterative fixpoint loop with an eager materialization per round — the
-    // same execution shape as the CC loop, and the same AQE tradeoff: every
-    // round is a short chain of exchanges whose per-stage driver re-planning
-    // costs more than the stages themselves on a small corpus (measured:
-    // ~0.15-0.25s per stage sync, ×~5 stages ×iters). Statistics-gated like
-    // tokenJaccardPairs: below 256MB of input the loop runs under static
-    // planning (conf restored in finally — sound here because every round
-    // materializes eagerly inside the scope); at scale AQE stays on for
-    // skew/coalescing where its cost amortizes.
-    val spark = corpus.sparkSession
-    val sizeBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-    val smallInput = sizeBytes < (256L << 20)
-    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
-    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    if (smallInput) {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // static stand-in for AQE's coalescing: ~8MB of input per loop
-      // partition, clamped to the session setting (CC does the same)
-      val loopParts = math.max(1L, math.min(confParts.toLong,
-        (sizeBytes / (8L << 20)).toLong + 1L)).toInt
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    }
-    try {
+    // same execution shape as the CC loop, so it runs under StaticScope's
+    // gate (sound: every round materializes eagerly inside the scope; at
+    // scale AQE stays on for skew/coalescing where its cost amortizes).
+    graft.ops.StaticScope.scoped(corpus) {
     val emb = corpus.select(col(idCol).as("vid"), quantize(col(embCol)).as("v"))
       .withColumn("vn", qdot(col("v"), col("v")))
     var seeds = corpus.filter(col(idCol) < nLists)
@@ -178,9 +160,6 @@ object Similarity {
         .localCheckpoint(true)
     }
     seeds
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", confParts)
     }
   }
 

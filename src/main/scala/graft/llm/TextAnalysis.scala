@@ -171,9 +171,13 @@ object TextAnalysis {
           "ELSE array() END"))).as("g")
     val dGrams = docs.select(col(idCol), gramCol)
     val bGrams = bench.select(gramCol).distinct()
-    dGrams.join(bGrams, Seq("g"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minHits)
+    // multi-exchange plan (distinct + join + count) over doc-table inputs:
+    // gate like the other small-input candidates (see StaticScope)
+    graft.ops.StaticScope.materialize(docs) {
+      dGrams.join(bGrams, Seq("g"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minHits)
+    }
   }
 }
