@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.AffineGapSimilarity
+import graft.expr.{AffineGapSimilarity, LongDotProduct}
 
 /** Session extensions registering the engine's native expressions for SQL use.
   * Install with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "affine_gap_sim takes exactly 2 arguments")
         AffineGapSimilarity(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("qdot_long"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, null, "qdot_long",
+        "_FUNC_(a, b) - integer dot product of two array<bigint> vectors.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "qdot_long takes exactly 2 arguments")
+        LongDotProduct(children(0), children(1))
       }))
   }
 }

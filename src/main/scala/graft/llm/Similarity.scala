@@ -23,9 +23,12 @@ object Similarity {
   def quantize(c: Column): Column =
     expr(s"transform(${c.toString}, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd [[graft.expr.LongDotProduct]] expression (the SQL
+    * higher-order-function formulation is interpreted per pair; this is the
+    * ANN hot kernel, so it must stay inside whole-stage codegen). Value is
+    * bit-identical: exact integer arithmetic, order-independent. */
+  def qdot(a: Column, b: Column): Column = graft.expr.LongDotProduct(a, b)
 
   /** Deterministic cosine from quantized vectors. */
   def qcosine(a: Column, b: Column): Column =
