@@ -35,6 +35,14 @@ object Relational {
           count(lit(1)).as("cnt"))
     }),
 
+    // A1 variant: ROLLUP hierarchy (group + subtotal + grand total in one
+    // pass — Spark expands the grouping sets inside a single aggregate)
+    "q_agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+
     // A1 flagship shape: license-node extraction (reference examples/meta.py:102-119)
     // CTE count -> sentinel filters -> count>=2 gate
     "q_license_freq" -> ((s, dir) => {
@@ -159,6 +167,12 @@ object Relational {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_license_freq" ->
       """WITH c AS (
