@@ -43,6 +43,18 @@ object Relational {
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
     }),
 
+    // pivot with an explicit value list (one wide aggregate, no second pass
+    // to discover values — the scale-correct pivot; open-ended pivot needs a
+    // distinct scan first)
+    "q_pivot" -> ((s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .na.fill(0L, prios)
+    }),
+
     // A1 flagship shape: license-node extraction (reference examples/meta.py:102-119)
     // CTE count -> sentinel filters -> count>=2 gate
     "q_license_freq" -> ((s, dir) => {
@@ -173,6 +185,15 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_license_freq" ->
       """WITH c AS (
