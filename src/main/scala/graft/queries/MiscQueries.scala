@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Ids, Incremental, JsonFlatten, PortableHash}
+import graft.ops.{AsofJoin, Ids, Incremental, JsonFlatten, PortableHash}
 
 /** JSON flatten coverage (F7-F10), verifiable hash partitioning (W1/F4 scale
   * variant), F1 hash-id consistency, and the incremental cache-merge pattern. */
@@ -108,6 +108,23 @@ object MiscQueries {
     "q_stream_dedup" -> ((s, dir) =>
       graft.streaming.Streams.streamDedupKeys(s, s"$dir/events.parquet",
         Seq("user_id", "event_type"))),
+
+    // as-of join: each click picks up the value of the user's latest view
+    // at-or-before it (union-window formulation: ONE shuffle, no range
+    // join). Timestamps are compared at microsecond granularity — the
+    // cross-engine-exact resolution (DuckDB's parquet reader truncates the
+    // nano column to µs), same rule as the sessionize oracle.
+    "q_asof_join" -> ((s, dir) => {
+      val events = s.read.schema(graft.streaming.Streams.eventsSchema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val views = events.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("value").as("view_value"))
+      AsofJoin.asofLeft(clicks, views, keys = Seq("user_id"), tsCol = "ts_us",
+        valCols = Seq("view_value"))
+    }),
 
     // gap-based sessionization (30-min gap) — the canonical stateful
     // log-pipeline operator, batch formulation
@@ -239,6 +256,19 @@ object MiscQueries {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // the oracle uses DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the same semantics, not a mirror of the
+    // union-window plan
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us""".stripMargin,
 
     "q_cache_merge" ->
       """SELECT o_orderkey, o_totalprice, src FROM (
