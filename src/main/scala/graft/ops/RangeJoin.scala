@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join: points matched to the `[start, end]`
+  * intervals containing them — sensor readings to maintenance windows,
+  * clicks to attribution windows, positions to genomic regions. Spark plans
+  * a raw `p BETWEEN start AND end` join condition as a broadcast-nested-loop
+  * (every point × every range), so the scale path BUCKETIZES: each interval
+  * explodes into the fixed-width bins it covers, points hash to their single
+  * bin, and the join becomes an equi-join on (keys, bin) with an exact
+  * containment post-filter. A (point, interval) pair meets in exactly ONE
+  * bin — the point's — so no dedup step exists.
+  *
+  * Cost model: interval expansion is ceil(len / binWidth) + 1 rows per
+  * interval; candidate volume per bin is |points in bin| × |intervals
+  * overlapping bin|. Pick `binWidth` near the typical interval length —
+  * much smaller multiplies the expansion, much larger multiplies false
+  * candidates. Both failure modes degrade linearly, not quadratically.
+  *
+  * Inverted intervals (start > end) match nothing, like SQL BETWEEN. */
+object RangeJoin {
+
+  /** Sign-correct floor division (integer `div` truncates toward zero). */
+  private def floorDiv(c: Column, w: Long): Column =
+    (c - pmod(c, lit(w))) / lit(w)
+
+  /** @param points   point rows (all columns preserved)
+    * @param ranges   interval rows (all columns preserved); column names must
+    *                 not collide with `points` outside of `keys`
+    * @param keys     additional equi-join key columns on both sides
+    * @param ptCol    point column (integral)
+    * @param startCol,endCol inclusive interval bounds on `ranges`
+    * @param binWidth bucket width in point units */
+  def pointInRange(points: DataFrame, ranges: DataFrame, keys: Seq[String],
+                   ptCol: String, startCol: String, endCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlap = points.columns.toSet.intersect(ranges.columns.toSet) -- keys
+    require(overlap.isEmpty, s"column collision outside keys: ${overlap.mkString(", ")}")
+
+    val p = points.withColumn("__bin", floorDiv(col(ptCol), binWidth).cast("long"))
+    val r = ranges.filter(col(startCol) <= col(endCol))
+      .withColumn("__bin", explode(sequence(
+        floorDiv(col(startCol), binWidth).cast("long"),
+        floorDiv(col(endCol), binWidth).cast("long"))))
+    p.join(r, keys :+ "__bin")
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bin")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{AsofJoin, Ids, Incremental, JsonFlatten, PortableHash}
+import graft.ops.{AsofJoin, Ids, Incremental, JsonFlatten, PortableHash, RangeJoin}
 
 /** JSON flatten coverage (F7-F10), verifiable hash partitioning (W1/F4 scale
   * variant), F1 hash-id consistency, and the incremental cache-merge pattern. */
@@ -124,6 +124,23 @@ object MiscQueries {
         .groupBy("user_id", "ts_us").agg(max("value").as("view_value"))
       AsofJoin.asofLeft(clicks, views, keys = Seq("user_id"), tsCol = "ts_us",
         valCols = Seq("view_value"))
+    }),
+
+    // range join: clicks attributed to the 60s window after each view,
+    // per user (bucketized equi-join, not a nested-loop range condition)
+    "q_range_join" -> ((s, dir) => {
+      val events = s.read.schema(graft.streaming.Streams.eventsSchema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      val windows = events.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts_us").as("w_start"), (col("ts_us") + 60L * 1000000L).as("w_end"))
+      RangeJoin.pointInRange(clicks, windows, keys = Seq("user_id"),
+        ptCol = "ts_us", startCol = "w_start", endCol = "w_end",
+        binWidth = 60L * 1000000L)
+        .select("click_id", "view_id", "user_id", "ts_us")
     }),
 
     // gap-based sessionization (30-min gap) — the canonical stateful
@@ -260,6 +277,21 @@ object MiscQueries {
     // the oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the same semantics, not a mirror of the
     // union-window plan
+    // the oracle states the range join DECLARATIVELY — DuckDB plans the
+    // inequality condition with its own IEJoin, an independent execution
+    // strategy for the same semantics
+    "q_range_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |windows AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS w_start,
+        |    epoch_us(ts) + 60000000 AS w_end
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, w.view_id, c.user_id, c.ts_us
+        |FROM clicks c JOIN windows w
+        |  ON c.user_id = w.user_id AND c.ts_us BETWEEN w.w_start AND w.w_end""".stripMargin,
+
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
