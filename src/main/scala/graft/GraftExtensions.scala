@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{AffineGapSimilarity, LongDotProduct}
+import graft.expr.{AffineGapSimilarity, KmvMinHashes, LongDotProduct}
 
 /** Session extensions registering the engine's native expressions for SQL use.
   * Install with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
@@ -26,6 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "qdot_long takes exactly 2 arguments")
         LongDotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_minhashes"),
+      new ExpressionInfo(classOf[KmvMinHashes].getName, null, "kmv_minhashes",
+        "_FUNC_(v, k) - KMV distinct-count synopsis: the k smallest md5 digests of v.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_minhashes takes exactly 2 arguments")
+        require(children(1).foldable, "kmv_minhashes k must be a literal")
+        KmvMinHashes(children(0),
+          children(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
       }))
   }
 }

@@ -43,6 +43,20 @@ object Relational {
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
     }),
 
+    // KMV distinct-count sketch (custom bounded-memory aggregate): per
+    // priority, estimate distinct customers from the 64 smallest value
+    // digests — deterministic given the hash, so even the ESTIMATE is
+    // oracle-checked bit-exactly
+    "q_distinct_sketch" -> ((s, dir) => {
+      import graft.expr.KmvMinHashes
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_custkey").cast("string").as("ck"))
+        .groupBy("o_orderpriority")
+        .agg(KmvMinHashes(col("ck"), 64).as("sketch"))
+        .select(col("o_orderpriority"),
+          KmvMinHashes.estimate(col("sketch"), 64).as("est_distinct"))
+    }),
+
     // pivot with an explicit value list (one wide aggregate, no second pass
     // to discover values — the scale-correct pivot; open-ended pivot needs a
     // distinct scan first)
@@ -185,6 +199,24 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // mirror of the KMV estimator: k'th smallest digest per group via a
+    // window, first 13 nibbles as an exact-in-double 52-bit integer
+    "q_distinct_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority, md5(CAST(o_custkey AS VARCHAR)) AS d FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, d,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY d) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM h)
+        |SELECT o_orderpriority,
+        |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |       ELSE 63.0 / (list_sum(list_transform(generate_series(1, 13),
+        |              i -> (strpos('0123456789abcdef', substr(d, i, 1)) - 1) * (16.0 ** (13 - i))))
+        |            / 4503599627370496.0)
+        |  END AS est_distinct
+        |FROM r WHERE rn = LEAST(n, 64)""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderstatus,
