@@ -46,6 +46,11 @@ case class KmvMinHashes(
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "kmv_minhashes"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kmv_minhashes requires a string column (cast first), got ${child.dataType}")
+
   override def createAggregationBuffer(): java.util.TreeSet[String] =
     new java.util.TreeSet[String]()
 

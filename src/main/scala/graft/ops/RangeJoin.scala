@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   * Inverted intervals (start > end) match nothing, like SQL BETWEEN. */
 object RangeJoin {
 
-  /** Sign-correct floor division (integer `div` truncates toward zero). */
+  /** Sign-correct floor division. `c - pmod(c, w)` is an exact multiple of
+    * `w`, so the quotient is exact — but Spark's `/` on integers is DOUBLE
+    * division, which mis-bins beyond 2^53 (nanosecond timestamps live
+    * there); the decimal detour keeps every step exact at any long. */
   private def floorDiv(c: Column, w: Long): Column =
-    (c - pmod(c, lit(w))) / lit(w)
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
 
   /** @param points   point rows (all columns preserved)
     * @param ranges   interval rows (all columns preserved); column names must
