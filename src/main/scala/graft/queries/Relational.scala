@@ -43,6 +43,13 @@ object Relational {
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
     }),
 
+    // A1 variant: CUBE — every grouping-set combination in one aggregate
+    "q_agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+
     // KMV distinct-count sketch (custom bounded-memory aggregate): per
     // priority, estimate distinct customers from the 64 smallest value
     // digests — deterministic given the hash, so even the ESTIMATE is
@@ -199,6 +206,12 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     // mirror of the KMV estimator: k'th smallest digest per group via a
     // window, first 13 nibbles as an exact-in-double 52-bit integer
