@@ -1,0 +1,102 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Off-toy scale proof for the time-series join operators: synthesize
+  * `SCALE_EVENTS` click/view events over `SCALE_USERS` users with a
+  * deterministic hash-derived timeline, then measure:
+  *
+  *  - `asof_sec`  — [[graft.ops.AsofJoin.asofLeft]] (union-window, ONE
+  *    shuffle on the key) enriching every click with the latest prior view;
+  *  - `range_sec` — [[graft.ops.RangeJoin.pointInRange]] (bucketized
+  *    equi-join) attributing clicks to 60s post-view windows;
+  *  - per-phase straggler ratio — hot-user skew would show here;
+  *  - row counts, so a plan change that silently alters semantics is visible.
+  *
+  * Run with e.g. SCALE_EVENTS=10000000 SCALE_USERS=50000 → 10M events, and
+  * a deliberately skewed user 0 holding ~1% of all traffic.
+  */
+object ScaleJoins {
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = sys.env.getOrElse("SCALE_EVENTS", "10000000").toLong
+    val nUsers = sys.env.getOrElse("SCALE_USERS", "50000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val durations = new ConcurrentLinkedQueue[(Int, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        durations.add((te.stageId, te.taskInfo.duration)); ()
+      }
+    })
+    def straggler(): Double = {
+      val byStage = durations.toArray(Array.empty[(Int, Long)])
+        .groupBy(_._1).values.map(_.map(_._2).filter(_ >= 200).sorted)
+        .filter(_.length >= 8)
+      val r = if (byStage.isEmpty) 1.0
+        else byStage.map(ts => ts.last.toDouble / ts(ts.length / 2).toDouble).max
+      durations.clear()
+      r
+    }
+
+    // deterministic event stream: ~1% of events land on hot user 0 (skew
+    // probe), timestamps hash-scattered over ~30 days of microseconds
+    val work = java.nio.file.Files.createTempDirectory("graft_scale_joins")
+    TempCleanup.deleteOnExit(work)
+    spark.range(nEvents)
+      .select(
+        col("id").as("event_id"),
+        when(pmod(xxhash64(col("id"), lit(1)), lit(100)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(nUsers))).as("user_id"),
+        pmod(xxhash64(col("id"), lit(3)), lit(2592000000000L)).as("ts_us"),
+        when(pmod(xxhash64(col("id"), lit(4)), lit(2)) === 0, lit("click"))
+          .otherwise(lit("view")).as("event_type"),
+        (pmod(xxhash64(col("id"), lit(5)), lit(1000)) / lit(100.0)).as("value"))
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val events = spark.read.parquet(s"$work/events.parquet")
+    val total = events.count()
+    durations.clear()
+
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    val views = events.filter(col("event_type") === "view")
+
+    val t0 = System.nanoTime()
+    val asof = graft.ops.AsofJoin.asofLeft(
+      clicks.withColumnRenamed("click_id", "event_id"),
+      views.groupBy("user_id", "ts_us").agg(max("value").as("view_value")),
+      keys = Seq("user_id"), tsCol = "ts_us", valCols = Seq("view_value"))
+    val asofRows = asof.count()
+    val asofMatched = asof.filter(col("view_value").isNotNull).count()
+    val asofSec = (System.nanoTime() - t0) / 1e9
+    val asofStraggler = straggler()
+
+    val t1 = System.nanoTime()
+    val ranged = graft.ops.RangeJoin.pointInRange(
+      clicks,
+      views.select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_us").as("w_start"), (col("ts_us") + 60L * 1000000L).as("w_end")),
+      keys = Seq("user_id"), ptCol = "ts_us", startCol = "w_start", endCol = "w_end",
+      binWidth = 60L * 1000000L)
+    val rangeRows = ranged.count()
+    val rangeSec = (System.nanoTime() - t1) / 1e9
+    val rangeStraggler = straggler()
+
+    println(s"""{"metric":"scale_joins","events":$total,"users":$nUsers,""" +
+      s""""asof_sec":$asofSec,"asof_rows":$asofRows,"asof_matched":$asofMatched,""" +
+      s""""range_sec":$rangeSec,"range_rows":$rangeRows,""" +
+      s""""stragglers":{"asof":$asofStraggler,"range":$rangeStraggler}}""")
+    spark.stop()
+  }
+}
