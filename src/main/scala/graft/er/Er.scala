@@ -362,7 +362,11 @@ object ConnectedComponents {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
       }
-      parent.keysIterator.map(id => (id, find(id))).toSeq.sorted
+      // snapshot keys first: find() path-compresses into the same map, and
+      // mutating a collection mid-iteration is undefined even for value-only
+      // writes
+      val ks = parent.keys.toArray
+      ks.map(id => (id, find(id))).toSeq.sorted
         .toDF("id", "component")
         .select(col("id").cast(idType).as("id"), col("component").cast(idType).as("component"))
     } else {
@@ -398,7 +402,8 @@ object ConnectedComponents {
           if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
         }
       }
-      parent.keysIterator.map(id => (id, find(id))).toSeq.sorted
+      val ks = parent.keys.toArray // snapshot: find() mutates during labeling
+      ks.map(id => (id, find(id))).toSeq.sorted
         .toDF("id", "component")
     }
     if (verbose)

@@ -35,19 +35,34 @@ object RangeJoin {
     * @param keys     additional equi-join key columns on both sides
     * @param ptCol    point column (integral)
     * @param startCol,endCol inclusive interval bounds on `ranges`
-    * @param binWidth bucket width in point units */
+    * @param binWidth bucket width in point units
+    * @param maxBins  per-interval expansion cap: an interval spanning more
+    *                 bins than this fails with a domain error instead of an
+    *                 opaque array-size blowup — an open-ended sentinel end
+    *                 (e.g. Long.MaxValue) would otherwise explode billions of
+    *                 rows; pick a binWidth near the real interval length
+    *                 (see the cost model above) or raise the cap knowingly */
   def pointInRange(points: DataFrame, ranges: DataFrame, keys: Seq[String],
                    ptCol: String, startCol: String, endCol: String,
-                   binWidth: Long): DataFrame = {
+                   binWidth: Long, maxBins: Long = 1000000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBins > 0, s"maxBins must be positive, got $maxBins")
     val overlap = points.columns.toSet.intersect(ranges.columns.toSet) -- keys
     require(overlap.isEmpty, s"column collision outside keys: ${overlap.mkString(", ")}")
+    val clash = (points.columns ++ ranges.columns).distinct.filter(_ == "__bin")
+    require(clash.isEmpty, "inputs must not contain the reserved working column __bin")
 
     val p = points.withColumn("__bin", floorDiv(col(ptCol), binWidth).cast("long"))
+    val binStart = floorDiv(col(startCol), binWidth).cast("long")
+    val binEnd = floorDiv(col(endCol), binWidth).cast("long")
+    val guarded = when(binEnd - binStart >= lit(maxBins),
+      raise_error(concat(
+        lit(s"RangeJoin: interval spans more than $maxBins bins of width $binWidth ["),
+        col(startCol).cast("string"), lit(", "), col(endCol).cast("string"),
+        lit("] — widen binWidth or raise maxBins"))).cast("long"))
+      .otherwise(binEnd)
     val r = ranges.filter(col(startCol) <= col(endCol))
-      .withColumn("__bin", explode(sequence(
-        floorDiv(col(startCol), binWidth).cast("long"),
-        floorDiv(col(endCol), binWidth).cast("long"))))
+      .withColumn("__bin", explode(sequence(binStart, guarded)))
     p.join(r, keys :+ "__bin")
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bin")

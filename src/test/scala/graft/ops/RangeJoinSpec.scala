@@ -39,4 +39,31 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(withDups.length === withDups.toSet.size)
     assert(withDups.toSet === brute(points, ranges)) // any bin width, same answer
   }
+
+  test("pathological interval fails with a domain error, not an array blowup") {
+    val points = Seq((1L, 7L, 0L)).toDF("pid", "k", "pt")
+    val ranges = Seq((10L, 7L, 0L, Long.MaxValue)).toDF("rid", "k", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.pointInRange(points, ranges, Seq("k"), "pt", "s", "e",
+        binWidth = 100L, maxBins = 1000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("RangeJoin: interval spans more than 1000 bins")))
+    // an in-cap interval on the same plan still works
+    val ok = RangeJoin.pointInRange(points,
+      Seq((10L, 7L, 0L, 99999L)).toDF("rid", "k", "s", "e"),
+      Seq("k"), "pt", "s", "e", binWidth = 100L, maxBins = 1001L)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(ok === Set((1L, 10L)))
+  }
+
+  test("reserved __bin column is rejected") {
+    import org.apache.spark.sql.functions.lit
+    val points = Seq((1L, 7L, 0L)).toDF("pid", "k", "pt").withColumn("__bin", lit(0))
+    val ranges = Seq((10L, 7L, 0L, 10L)).toDF("rid", "k", "s", "e")
+    assertThrows[IllegalArgumentException] {
+      RangeJoin.pointInRange(points, ranges, Seq("k"), "pt", "s", "e", binWidth = 100L)
+    }
+  }
 }
