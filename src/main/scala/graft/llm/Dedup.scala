@@ -305,17 +305,22 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), blockKey.as("blk"),
         array_distinct(split(col(textCol), " ")).as("tw"))
       .repartition(col("id"))
-    val hashOrdered = array_sort(transform(col("tw"),
-      t => struct(xxhash64(t).as("h"), t.as("tok"))))
+    // Prefix ordering works on the HASHES alone: sorting a bigint array is
+    // far cheaper than sorting (hash, token) structs (no per-comparison
+    // string tiebreak, no InternalRow boxing), and the posting key shrinks
+    // to (blk, h). A 64-bit collision merely merges two postings lists —
+    // extra candidates the exact verify prunes; the prefix bound still
+    // holds because the array keeps one entry per token, so k shared tokens
+    // still occupy k suffix slots in the containment argument.
+    val hashOrdered = array_sort(transform(col("tw"), t => xxhash64(t)))
     // ⌈t·n⌉ with a downward epsilon: 0.95·n is not exact in binary, and an
     // upward-rounded product would shorten the prefix below the safe bound
     // (a too-LONG prefix only adds candidates, never loses a pair)
     val prefLen = (size(col("tw"))
       - ceil(lit(threshold) * size(col("tw")) - lit(1e-9)) + lit(1)).cast("int")
     val pref = docs.select(col("id"), col("blk"), size(col("tw")).as("n"),
-      explode(slice(hashOrdered, lit(1), prefLen)).as("tk"))
-    val grouped = pref.groupBy(col("blk"), col("tk").getField("h").as("h"),
-        col("tk").getField("tok").as("tok"))
+      explode(slice(hashOrdered, lit(1), prefLen)).as("h"))
+    val grouped = pref.groupBy(col("blk"), col("h"))
       .agg(array_sort(collect_list(struct(col("id"), col("n")))).as("ids"))
       .filter(size(col("ids")) > 1)
     val sizeRatioOk =
@@ -328,7 +333,9 @@ object Dedup {
           size(col("ids")) - col("pos") - lit(1))).as("y"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.n").as("na"), col("y.n").as("nb"))
-      .filter(sizeRatioOk)
+      // a=b only if two of a doc's own tokens hash-collide (both prefix
+      // copies land in one posting); drop the degenerate self-pair
+      .filter(col("a") =!= col("b") && sizeRatioOk)
       .distinct()
     val pairs = cand
       .join(docs.select(col("id").as("a"), col("tw").as("ta")), "a")

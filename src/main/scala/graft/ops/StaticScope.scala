@@ -30,7 +30,14 @@ object StaticScope {
   val DefaultThresholdBytes: Long = 256L << 20
 
   /** Static stand-in for AQE's partition coalescing: ~8MB of input per
-    * shuffle partition, clamped to [1, session setting]. */
+    * shuffle partition, clamped to [cores, session setting]. The CPU floor
+    * matters as much as the bytes ceiling: a text corpus is tiny on disk but
+    * CPU-heavy per row (tokenize/hash/sort), and sizing purely by bytes
+    * serialized a 7-exchange pipeline onto ONE partition (measured: the
+    * token-Jaccard query at sf0.1 spent ~3s of its 4.5s single-threaded;
+    * flooring at defaultParallelism cut it to ~2s). Scheduling a few dozen
+    * near-empty tasks per stage costs milliseconds; losing 31 of 32 cores
+    * costs the whole query. */
   val BytesPerPartition: Long = 8L << 20
 
   /** Planner-estimated input size (parquet stats — free, no extra scan). */
@@ -50,7 +57,8 @@ object StaticScope {
       val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
       val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val parts = math.max(1L, math.min(confParts.toLong,
+      val cpuFloor = math.min(confParts.toLong, spark.sparkContext.defaultParallelism.toLong)
+      val parts = math.max(cpuFloor, math.min(confParts.toLong,
         (size / BytesPerPartition).toLong + 1L)).toInt
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try body
