@@ -47,8 +47,15 @@ object StaticScope {
   /** Run `body` under static planning (AQE off, shuffle partitions sized to
     * the input) iff the input estimate is below the threshold; otherwise run
     * it untouched. `body` MUST materialize everything it returns — see the
-    * soundness rule above. */
-  def scoped[T](input: DataFrame, thresholdBytes: Long = DefaultThresholdBytes)
+    * soundness rule above.
+    *
+    * `minParts`: the partition floor. Default (0) floors at the executor
+    * parallelism — right for CPU-bound per-row work (see BytesPerPartition).
+    * An I/O-light plan over a handful of rows (e.g. an incremental-crawl
+    * merge) passes an explicit small floor instead: near-empty tasks buy it
+    * nothing and every output part file is a downstream copy cost. */
+  def scoped[T](input: DataFrame, thresholdBytes: Long = DefaultThresholdBytes,
+                minParts: Int = 0)
                (body: => T): T = {
     val size = inputBytes(input)
     if (size >= thresholdBytes) body
@@ -57,8 +64,9 @@ object StaticScope {
       val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
       val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val cpuFloor = math.min(confParts.toLong, spark.sparkContext.defaultParallelism.toLong)
-      val parts = math.max(cpuFloor, math.min(confParts.toLong,
+      val floor = math.min(confParts.toLong,
+        if (minParts > 0) minParts.toLong else spark.sparkContext.defaultParallelism.toLong)
+      val parts = math.max(floor, math.min(confParts.toLong,
         (size / BytesPerPartition).toLong + 1L)).toInt
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try body

@@ -177,11 +177,14 @@ object MiscQueries {
     "q_crawl_incremental" -> ((s, dir) => {
       import java.nio.charset.StandardCharsets
       import java.nio.file.Files
-      val nations = t(s, dir, "nation")
-        .select(col("n_nationkey").cast("long"), col("n_name").cast("string"))
+      // one collect for both fixture tables (region rows carry key -1):
+      // fixture setup is constant cost per bench sample, keep it one job
+      val fixture = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name").cast("string").as("n"))
+        .unionByName(t(s, dir, "region").select(lit(-1L).as("k"), col("r_name").cast("string").as("n")))
         .collect().map(r => (r.getLong(0), r.getString(1)))
-      val regions = t(s, dir, "region").select(col("r_name").cast("string"))
-        .collect().map(_.getString(0))
+      val nations = fixture.filter(_._1 >= 0)
+      val regions = fixture.filter(_._1 < 0).map(_._2)
       val tmp = Files.createTempDirectory("graft_crawl_")
       graft.TempCleanup.deleteOnExit(tmp) // result parquet is read lazily; clean at JVM exit
       val srcDir = Files.createDirectory(tmp.resolve("src"))

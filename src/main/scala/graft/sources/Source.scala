@@ -108,13 +108,28 @@ object Crawl {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Fetch parallelism: `hint` when given (the crawl driver knows the key-
+    * universe size from the trigger — a handful of keys shouldn't fan out to
+    * the full shuffle width, which costs 32 near-empty tasks AND 32 output
+    * part files that every snapshot copy then pays for), else the session
+    * shuffle width. */
+  private def fetchParts(spark: SparkSession, hint: Int): Int = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (hint > 0) math.min(n, hint) else n
+  }
+
+  /** Batch ~4 keys per fetch task: enough tasks that slow endpoints overlap,
+    * few enough that a small key universe stays a small job. */
+  def partitionHint(nKeys: Int): Int = math.max(1, (nKeys + 3) / 4)
+
   /** Download brand-new keys (LatestDownloader, crawl.py:57-80): plain GET,
     * 404s skipped, anything else must be 200. */
   def fetchNew(keys: DataFrame, source: Source,
-               maxAttempts: Int = 3, retrySleepMs: Long = 0L): DataFrame = {
+               maxAttempts: Int = 3, retrySleepMs: Long = 0L,
+               partitionsHint: Int = 0): DataFrame = {
     val spark = keys.sparkSession
     import spark.implicits._
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = fetchParts(spark, partitionsHint)
     keys.select(col("name").cast("string")).as[String]
       .repartition(n) // spread I/O-bound fetches; a key list arrives in one split
       .mapPartitions { it =>
@@ -135,34 +150,50 @@ object Crawl {
     * left the index are still probed and a 404/304 keeps their cached row —
     * plain-GET the trigger keys not yet in the snapshot, and merge 200-rows
     * over the previous snapshot keep-first (crawl.py:133-153 concat +
-    * drop_duplicates keep='first'). The snapshot is never pruned. */
+    * drop_duplicates keep='first'). The snapshot is never pruned.
+    *
+    * Scale shape: ONE shuffle. Cache rows and trigger keys union and group
+    * by name — each key then carries its cached (latest, etag) if any — and
+    * a single fetch pass applies the per-key decision inline: cached key ⇒
+    * conditional GET (200 overwrites; 304/Gone keep the cached row), new
+    * key ⇒ plain GET (Gone skipped). The previous formulation ran two fetch
+    * jobs, an anti-join, and a window merge for the same answer. */
   def incremental(keys: DataFrame, state: Option[DataFrame], source: Source,
-                  maxAttempts: Int = 3, retrySleepMs: Long = 0L): DataFrame =
+                  maxAttempts: Int = 3, retrySleepMs: Long = 0L,
+                  partitionsHint: Int = 0): DataFrame =
     state match {
-      case None => fetchNew(keys, source, maxAttempts, retrySleepMs)
+      case None => fetchNew(keys, source, maxAttempts, retrySleepMs, partitionsHint)
       case Some(cache) =>
         val spark = keys.sparkSession
         import spark.implicits._
-        val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        val known = cache.select(col("name").cast("string"), col("etag").cast("string"))
-        val updated = known.as[(String, String)]
-          .repartition(n)
+        val u = cache
+          .select(col("name").cast("string"), col("latest").cast("string"),
+            col("etag").cast("string"))
+          .unionByName(keys.select(col("name").cast("string"),
+            lit(null).cast("string").as("latest"), lit(null).cast("string").as("etag")))
+        // per name: at most one cached row (this operator wrote the snapshot)
+        // and possibly a trigger marker — max() surfaces the cached fields
+        u.groupBy(col("name"))
+          .agg(max(col("latest")).as("latest"), max(col("etag")).as("etag"))
+          .as[(String, String, String)]
           .mapPartitions { it =>
-            it.flatMap { case (key, etag) =>
-              fetchWithRetry(source, key, Some(etag), maxAttempts, retrySleepMs) match {
-                case Fetch.Ok(content, newEtag) => Some((key, content, newEtag))
-                case Fetch.NotModified => None
-                case Fetch.Gone => None // cached row survives via the merge
-                case other => throw new RuntimeException(s"unexpected $other for '$key'")
-              }
+            it.flatMap { case (key, cachedLatest, etag) =>
+              if (etag != null)
+                fetchWithRetry(source, key, Some(etag), maxAttempts, retrySleepMs) match {
+                  case Fetch.Ok(content, newEtag) => Some((key, content, newEtag))
+                  case Fetch.NotModified => Some((key, cachedLatest, etag))
+                  case Fetch.Gone => Some((key, cachedLatest, etag)) // survives
+                  case other => throw new RuntimeException(s"unexpected $other for '$key'")
+                }
+              else
+                fetchWithRetry(source, key, None, maxAttempts, retrySleepMs) match {
+                  case Fetch.Ok(content, newEtag) => Some((key, content, newEtag))
+                  case Fetch.Gone => None
+                  case other => throw new RuntimeException(s"unexpected $other for new key '$key'")
+                }
             }
           }
           .toDF("name", "latest", "etag")
-        val newRows = fetchNew(
-          keys.select(col("name")).join(cache, Seq("name"), "left_anti"),
-          source, maxAttempts, retrySleepMs)
-        graft.ops.Incremental.mergeKeepFirst(
-          updated.unionByName(newRows), cache, Seq("name"))
     }
 }
 
@@ -183,8 +214,21 @@ class CrawlNode(
   override def doCache: Boolean = true
 
   def run(cat: graft.engine.Catalog): Unit = {
-    val keys = Crawl.trigger(cat.spark, source)
+    // list() runs once; the trigger df and the fetch-parallelism hint both
+    // derive from it (the key-universe size is driver-side knowledge — no
+    // extra job to count it)
+    val universe = source.list()
+    import cat.spark.implicits._
+    val keys = universe.toDF("name")
     val state = if (cat.existsCache(outputId)) Some(cat.loadCache(outputId)) else None
-    cat.write(Crawl.incremental(keys, state, source, maxAttempts, retrySleepMs), outputId)
+    val hint = Crawl.partitionHint(universe.size)
+    // statistics-gated static planning for the merge-write: a small snapshot
+    // pays more in AQE per-stage re-planning than in the work itself, and
+    // the partition floor is the fetch hint (I/O-light — no CPU floor);
+    // a big snapshot (gate trips) keeps AQE untouched
+    graft.ops.StaticScope.scoped(state.getOrElse(keys), minParts = hint) {
+      cat.write(Crawl.incremental(keys, state, source, maxAttempts, retrySleepMs,
+        partitionsHint = hint), outputId)
+    }
   }
 }
