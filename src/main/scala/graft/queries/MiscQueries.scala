@@ -152,6 +152,59 @@ object MiscQueries {
       graft.streaming.Sessionize.batch(events, gapMinutes = 30)
     }),
 
+    // as-of + range join COMPOSED inside an EtlGroup DAG (the reference-
+    // shaped workload test): extraction -> {AsofJoin enrichment DfNode,
+    // RangeJoin attribution DfNode} -> SqlNode join of the two outputs, all
+    // wired by catalog ids and executed concurrently. Each click carries the
+    // value of the user's latest at-or-before view AND the count of 60s
+    // view-attribution windows containing it.
+    "q_asof_dag" -> ((s, dir) => {
+      import graft.engine.{Catalog, DfNode, EtlGroup, SqlNode}
+      val work = java.nio.file.Files.createTempDirectory("graft_asof_dag")
+      graft.TempCleanup.deleteOnExit(work)
+      val cat = new Catalog(s, work.toString)
+      // source-style node: events need the explicit read schema (ns
+      // timestamps), so extraction reads the parquet itself rather than
+      // linking the raw table
+      val extract = new DfNode("extract_events", Seq.empty, Seq("dag_clicks", "dag_views"),
+        fn = { _ =>
+          val events = s.read.schema(graft.streaming.Streams.eventsSchema)
+            .parquet(s"$dir/events.parquet")
+            .withColumn("ts_us", expr("ts div 1000"))
+          Seq(
+            events.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts_us"),
+            events.filter(col("event_type") === "view")
+              .groupBy("user_id", "ts_us").agg(max("value").as("view_value")))
+        })
+      val enrich = new DfNode("asof_enrich", Seq("dag_clicks", "dag_views"),
+        Seq("dag_clicks_enriched"),
+        fn = { case Seq(clicks, views) =>
+          Seq(AsofJoin.asofLeft(clicks, views, keys = Seq("user_id"),
+            tsCol = "ts_us", valCols = Seq("view_value")))
+        })
+      val attrib = new DfNode("range_attribution", Seq("dag_clicks", "dag_views"),
+        Seq("dag_click_attribution"),
+        fn = { case Seq(clicks, views) =>
+          val windows = views.select(col("user_id"), col("ts_us").as("w_start"),
+            (col("ts_us") + 60L * 1000000L).as("w_end"))
+          Seq(RangeJoin.pointInRange(clicks, windows, keys = Seq("user_id"),
+            ptCol = "ts_us", startCol = "w_start", endCol = "w_end",
+            binWidth = 60L * 1000000L)
+            .groupBy("event_id").agg(count(lit(1)).as("n_windows")))
+        })
+      val result = new SqlNode("asof_dag_result",
+        Seq("dag_clicks_enriched", "dag_click_attribution"),
+        sqls = Map("asof_dag_result" ->
+          """SELECT e.event_id, e.user_id, e.ts_us, e.view_value,
+            |  coalesce(a.n_windows, CAST(0 AS BIGINT)) AS n_windows
+            |FROM dag_clicks_enriched e
+            |LEFT JOIN dag_click_attribution a ON e.event_id = a.event_id""".stripMargin))
+      new EtlGroup("asof_dag", Seq(extract, enrich, attrib, result))
+        .execute(cat, maxActiveRun = 2)
+      cat.read("asof_dag_result")
+    }),
+
     // incremental cache merge: new run wins per key, cache fills the rest
     // (crawl.py:117-153 keep-first pattern as a query)
     "q_cache_merge" -> ((s, dir) => {
@@ -304,6 +357,27 @@ object MiscQueries {
         |SELECT c.event_id, c.user_id, c.ts_us, v.view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us""".stripMargin,
+
+    // same DAG, declaratively: DuckDB's native ASOF JOIN + its IEJoin range
+    // strategy — independent executions of both composed operators
+    "q_asof_dag" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |enriched AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us, v.view_value
+        |  FROM clicks c ASOF LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND c.ts_us >= v.ts_us),
+        |attrib AS (
+        |  SELECT c.event_id, count(*) AS n_windows
+        |  FROM clicks c JOIN views v
+        |    ON c.user_id = v.user_id AND c.ts_us BETWEEN v.ts_us AND v.ts_us + 60000000
+        |  GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.ts_us, e.view_value,
+        |  coalesce(a.n_windows, 0) AS n_windows
+        |FROM enriched e LEFT JOIN attrib a USING (event_id)""".stripMargin,
 
     "q_cache_merge" ->
       """SELECT o_orderkey, o_totalprice, src FROM (
