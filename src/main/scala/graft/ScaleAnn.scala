@@ -56,9 +56,12 @@ object ScaleAnn {
     }
 
     // --- scaled corpus: copy 0 original; copy i>0 perturbs every dimension
-    // by a deterministic hash-derived offset in [-0.05, 0.05] (pmod keeps the
-    // residue non-negative; raw % would keep the dividend's sign and double
-    // the spread) — materialized and re-read like a real input table
+    // by a deterministic hash-derived offset in [-0.1, 0.1] (xxhash64 % 101
+    // keeps the dividend's sign, so residues span [-100, 100]) — materialized
+    // and re-read like a real input table. The spread is part of the measured
+    // corpus geometry: every published ScaleAnn number was taken at ±0.1, and
+    // tightening it (e.g. a non-negative pmod) degenerates the seed set (all
+    // 64 seeds are copies of vector 0) enough to distort search cost 5-7×.
     val work = java.nio.file.Files.createTempDirectory("graft_scale_ann")
     TempCleanup.deleteOnExit(work)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -70,7 +73,7 @@ object ScaleAnn {
         (col("vec_id") * copies + col("i")).as("vec_id"),
         expr("""CASE WHEN i = 0 THEN embedding
              |  ELSE transform(embedding, (x, j) ->
-             |    CAST(x + (pmod(xxhash64(vec_id, i, j), 101) - 50) * 0.001 AS FLOAT))
+             |    CAST(x + (xxhash64(vec_id, i, j) % 101) * 0.001 AS FLOAT))
              |END""".stripMargin).as("embedding"))
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
     val corpus = spark.read.parquet(s"$work/embeddings.parquet")
