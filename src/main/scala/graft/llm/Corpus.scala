@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * stratified subsampling, token-budget sequence packing, and vocabulary
+  * construction. All three are hash/window/aggregate shapes — no driver-side
+  * loops, no cross joins — and all are deterministic so the DuckDB oracle
+  * checks them bit-exactly.
+  */
+object Corpus {
+
+  /** Deterministic stratified subsample: keep a row iff its portable content
+    * hash lands below the stratum's percentage — the reproducible "take X%
+    * of English, Y% of the rest" mixing step every corpus recipe needs.
+    * Sampling by hash (not rand()) means the subsample is stable across
+    * runs, engines, and partitionings, and composes with incremental
+    * pipelines (a re-crawled doc keeps its in/out fate).
+    *
+    * Scale shape: a narrow filter — no shuffle at all; the hash is computed
+    * per row and compared to the stratum rate.
+    *
+    * @param idCol    SQL expression string for the identity to hash (cast to
+    *                 string; e.g. "cast(doc_id AS string)")
+    * @param stratumCol column whose value selects the rate
+    * @param rates    stratum value -> keep percentage in [0, 100]
+    * @param defaultRate keep percentage for strata not in `rates` */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 100),
+      "rates must be percentages in [0, 100]")
+    val bucket = graft.ops.PortableHash.md5Mod(idCol, 100)
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /** Token-budget sequence packing: concatenate each partition's documents
+    * in a deterministic order and chunk the token stream into fixed
+    * `maxTokens` windows — the "pack documents into training sequences"
+    * step. Each document is assigned the sequence its FIRST token lands in
+    * (`seq_id`) plus its offset within that sequence (`seq_offset`); a
+    * document straddling a boundary spills into the next window, which is
+    * exactly what a sequence writer needs to know to place it.
+    *
+    * Scale shape: ONE shuffle on `partCols` and a linear window scan (the
+    * same cost as the sessionize operator); no state beyond the running sum.
+    *
+    * @param tokenCol  token count per row (any integral expression)
+    * @param partCols  independent packing streams (e.g. language)
+    * @param orderCol  deterministic order within a stream (e.g. doc id) */
+  def packSequences(df: DataFrame, tokenCol: Column, partCols: Seq[String],
+                    orderCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = tokenCol.cast("long")
+    val start = sum(toks).over(w) - toks
+    // exact floor division past 2^53 (same decimal detour as RangeJoin:
+    // start - pmod is an exact multiple of maxTokens, so the quotient is
+    // exact; bare `/` on longs is DOUBLE division and would mis-chunk there)
+    val seqId = ((start - pmod(start, lit(maxTokens.toLong))).cast("decimal(38,0)")
+      / lit(maxTokens.toLong)).cast("long")
+    df.withColumn("n_tokens", toks)
+      .withColumn("seq_id", seqId)
+      .withColumn("seq_offset", pmod(start, lit(maxTokens.toLong)).cast("long"))
+  }
+
+  /** Vocabulary build: the `topN` most frequent whitespace tokens with
+    * counts and a deterministic rank (count desc, token asc) — the
+    * tokenizer-training prep step.
+    *
+    * Scale shape: explode + map-side-combinable count (one shuffle), then a
+    * distributed take-ordered for the top N (Spark's TakeOrdered — each
+    * partition contributes its local top N, no global sort); the final
+    * rank window runs over N rows only. */
+  def vocabulary(df: DataFrame, textCol: String, topN: Int,
+                 minCount: Long = 1L): DataFrame = {
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topN)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+  }
+}

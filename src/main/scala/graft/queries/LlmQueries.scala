@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Large-scale training-data pipeline queries (dedup, similarity search,
   * text analysis, multimodal plumbing) over `documents` / `embeddings`.
@@ -226,6 +226,27 @@ object LlmQueries {
     // Gopher-style repetition filters: dup-bigram + top-token fractions
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")),
+
+    // deterministic stratified subsample: 50% of English by content hash,
+    // 20% of every other language — reproducible corpus mixing (hash-gated,
+    // not rand(), so the subsample is stable across runs and engines)
+    "q_sample_stratified" -> ((s, dir) =>
+      Corpus.stratifiedSample(t(s, dir, "documents"), "cast(doc_id AS string)",
+        "lang", Map("en" -> 50), defaultRate = 20)
+        .select(col("doc_id"), col("lang"))),
+
+    // token-budget sequence packing: per-language streams ordered by doc_id,
+    // chunked into 512-token training sequences (seq_id + offset per doc)
+    "q_pack_sequences" -> ((s, dir) =>
+      Corpus.packSequences(t(s, dir, "documents"),
+        TextAnalysis.tokenCount(col("text")), partCols = Seq("lang"),
+        orderCol = "doc_id", maxTokens = 512)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))),
+
+    // vocabulary build: top-100 whitespace tokens with deterministic rank
+    "q_vocab_top" -> ((s, dir) =>
+      Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 100)),
 
     // multimodal plumbing: binary payload -> distributed (stub) decode -> meta
     "q_multimodal_meta" -> ((s, dir) => {
@@ -527,6 +548,37 @@ object LlmQueries {
         |  CAST(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
         |    / CAST(len(toks) AS DOUBLE) AS top_token_frac
         |FROM b""".stripMargin,
+
+    "q_sample_stratified" -> {
+      def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100
+         |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin
+    },
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(st // 512 AS BIGINT) AS seq_id,
+        |  CAST(st % 512 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
+
+    "q_vocab_top" ->
+      """SELECT token, cnt, rank FROM (
+        |  SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT token, count(*) AS cnt
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
+        |    GROUP BY token) c) r
+        |WHERE rank <= 100""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT id, n_bytes, digest, checksum,

@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "en", "a b c d e"),          // 5 tokens
+    (2L, "en", "f g h"),              // 3
+    (3L, "en", "i j k l"),            // 4
+    (4L, "de", "m n"),                // 2
+    (5L, "de", "o p q r s t u v")     // 8
+  ).toDF("doc_id", "lang", "text")
+
+  test("stratifiedSample: 0% keeps nothing, 100% keeps everything, deterministic") {
+    val none = Corpus.stratifiedSample(docs, "cast(doc_id AS string)", "lang",
+      Map.empty, defaultRate = 0)
+    assert(none.count() === 0)
+    val all = Corpus.stratifiedSample(docs, "cast(doc_id AS string)", "lang",
+      Map.empty, defaultRate = 100)
+    assert(all.count() === 5)
+    val a = Corpus.stratifiedSample(docs, "cast(doc_id AS string)", "lang",
+      Map("en" -> 50), 20).select("doc_id").as[Long].collect().sorted
+    val b = Corpus.stratifiedSample(docs, "cast(doc_id AS string)", "lang",
+      Map("en" -> 50), 20).select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b)) // hash-gated, not rand()
+  }
+
+  test("packSequences: start offsets are the running token sum per stream, chunked") {
+    val out = Corpus.packSequences(docs, size(split(col("text"), " ")),
+      partCols = Seq("lang"), orderCol = "doc_id", maxTokens = 6)
+      .select("doc_id", "n_tokens", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // en stream: starts 0, 5, 8 -> seqs 0,0,1; offsets 0,5,2
+    assert(out(1L) === ((5L, 0L, 0L)))
+    assert(out(2L) === ((3L, 0L, 5L)))
+    assert(out(3L) === ((4L, 1L, 2L)))
+    // de stream independent: starts 0, 2
+    assert(out(4L) === ((2L, 0L, 0L)))
+    assert(out(5L) === ((8L, 0L, 2L)))
+  }
+
+  test("vocabulary: rank contiguous, counts non-increasing, ties broken by token") {
+    val v = Corpus.vocabulary(docs, "text", topN = 3)
+      .select("token", "cnt", "rank").as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(v.map(_._3).toSeq === Seq(1L, 2L, 3L))
+    assert(v.map(_._2).toSeq === v.map(_._2).toSeq.sortBy(-_))
+    // all tokens appear once here -> pure lexicographic tie-break
+    assert(v.map(_._1).toSeq === Seq("a", "b", "c"))
+  }
+}
