@@ -46,10 +46,17 @@ object AsofJoin {
     * @param tsCol    timestamp column name (present on both sides, orderable)
     * @param valCols  right columns to carry onto each left row
     * @param tieBreak optional right-side expression ordering rows that tie on
-    *                 (keys, ts): the row with the max value wins */
+    *                 (keys, ts): the row with the max value wins
+    * @param forward  false (default): match the LATEST right row with
+    *                 `right.ts <= left.ts` (backward as-of). true: match the
+    *                 EARLIEST right row with `right.ts >= left.ts` (forward
+    *                 as-of — next-event enrichment). Same plan, the window
+    *                 just scans time in the other direction; both are
+    *                 inclusive at equality. */
   def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, valCols: Seq[String],
-               tieBreak: Option[Column] = None): DataFrame = {
+               tieBreak: Option[Column] = None,
+               forward: Boolean = false): DataFrame = {
     val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
     require(leftOnly.intersect(valCols).isEmpty,
       s"left already has columns ${leftOnly.intersect(valCols).mkString(", ")}")
@@ -75,9 +82,13 @@ object AsofJoin {
         lit(0).as(SideCol): _*)
 
     // __tie orders only right rows that share (keys, ts) — sides never tie
-    // with each other because __side differs; asc + last() = max-by wins
+    // with each other because __side differs; asc + last() = max-by wins.
+    // Forward mode scans time descending, so "last preceding" becomes
+    // "nearest following"; __side stays asc so right rows still sort before
+    // left rows at equal ts (inclusive match either way).
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col(SideCol).asc, col(TieCol).asc_nulls_first)
+      .orderBy(tsOrder, col(SideCol).asc, col(TieCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lSide.unionByName(rSide)

@@ -126,6 +126,31 @@ object MiscQueries {
         valCols = Seq("view_value"))
     }),
 
+    // forward as-of join: each click picks up the value of the user's
+    // EARLIEST view at-or-after it (next-event enrichment; same union-window
+    // plan scanning time the other way)
+    "q_asof_forward" -> ((s, dir) => {
+      val events = s.read.schema(graft.streaming.Streams.eventsSchema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val views = events.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("value").as("view_value"))
+      AsofJoin.asofLeft(clicks, views, keys = Seq("user_id"), tsCol = "ts_us",
+        valCols = Seq("view_value"), forward = true)
+    }),
+
+    // salted skew join: hot-key-proof equi-join (left salted, right
+    // replicated saltx) — row-identical to the plain join the oracle runs
+    "q_skew_join" -> ((s, dir) => {
+      graft.ops.SkewJoin.salted(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity"),
+        t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_name")),
+        keys = Seq("l_partkey"), saltBy = col("l_orderkey"), salt = 8)
+        .select("l_orderkey", "l_partkey", "l_quantity", "p_name")
+    }),
+
     // range join: clicks attributed to the 60s window after each view,
     // per user (bucketized equi-join, not a nested-loop range condition)
     "q_range_join" -> ((s, dir) => {
@@ -347,6 +372,21 @@ object MiscQueries {
         |SELECT c.click_id, w.view_id, c.user_id, c.ts_us
         |FROM clicks c JOIN windows w
         |  ON c.user_id = w.user_id AND c.ts_us BETWEEN w.w_start AND w.w_end""".stripMargin,
+
+    // DuckDB's native forward ASOF (the <= comparator flips the direction)
+    "q_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts_us <= v.ts_us""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, p_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (

@@ -56,6 +56,21 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out === Map(1L -> Some(3.0), 2L -> None))
   }
 
+  test("forward mode: earliest at-or-after match; null after the last right row") {
+    val left = Seq(
+      (1L, 10L, 5L),   // next view @10
+      (2L, 10L, 10L),  // ties with view@10 -> inclusive match
+      (3L, 10L, 15L),  // next view @20
+      (4L, 10L, 25L)   // nothing after -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 10L, 1.0), (10L, 20L, 2.0)).toDF("user_id", "ts", "v")
+    val out = AsofJoin.asofLeft(left, right, Seq("user_id"), "ts", Seq("v"),
+      forward = true)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out === Map(
+      1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0), 4L -> None))
+  }
+
   test("reserved working-column names are rejected") {
     val left = Seq((1L, 10L, 5L)).toDF("event_id", "user_id", "ts")
     val bad = left.withColumn("__side", org.apache.spark.sql.functions.lit(0))
