@@ -186,6 +186,25 @@ object Bench {
           unstable.map(_._1).mkString(", "))
         unstable.foreach { case (name, fn) => measure("pass3", name, fn) }
       }
+      // Load-flagged final pass: min-of-2 + the instability trigger are both
+      // blind to SUSTAINED ambient load (every sample agrees at the inflated
+      // value, and the gate only blocks above ~0.5x cores — a co-tenant
+      // burning a quarter of the box sails under it yet inflated
+      // q_dedup_minhash 6x in one observed run). Any query whose BEST sample
+      // was taken above the clean-load threshold gets one more gated sample
+      // at the end of the run, when the box has had the longest chance to
+      // drain; min() keeps whichever is faster, and the recorded load tells
+      // the reader which regime won.
+      val loadFlag = sys.env.get("SPARK_GRAFT_LOAD_FLAG").map(_.toDouble)
+        .getOrElse(math.max(2.0, 0.1 * cpus.toDouble))
+      val loaded = queries.filter { case (name, _) =>
+        val (sec, load) = best(name); sec >= 0 && load > loadFlag
+      }
+      if (loaded.nonEmpty) {
+        System.err.println(s"[bench] re-measuring ${loaded.size} load-flagged queries " +
+          s"(best sample above load $loadFlag): " + loaded.map(_._1).mkString(", "))
+        loaded.foreach { case (name, fn) => measure("pass4", name, fn) }
+      }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] suite aborted, emitting partial results: ${e.getMessage}")

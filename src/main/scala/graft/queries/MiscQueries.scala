@@ -168,6 +168,14 @@ object MiscQueries {
         .select("click_id", "view_id", "user_id", "ts_us")
     }),
 
+    // STREAMING sessionization: flatMapGroupsWithState over the event feed —
+    // per-user open sessions in the state store, a session emitted only when
+    // a later event closes it; the oracle is the batch window formulation
+    // minus each user's final (still-open) session
+    "q_stream_sessions" -> ((s, dir) =>
+      graft.streaming.Streams.streamSessions(s, s"$dir/events.parquet",
+        gapMinutes = 30)),
+
     // gap-based sessionization (30-min gap) — the canonical stateful
     // log-pipeline operator, batch formulation
     "q_sessionize" -> ((s, dir) => {
@@ -334,6 +342,28 @@ object MiscQueries {
         |  '<start> ' || array_to_string(string_split(s, '.')[1:2], '.
         |') AS title_n_first_line
         |FROM (SELECT doc_id, replace(text, ' table', '. table') AS s FROM documents) d""".stripMargin,
+
+    // batch restatement of the stateful stream: sessionize, aggregate each
+    // session, drop each user's last (still-open in the stream) session
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, tsu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, seq, min(tsu) AS start_micros, max(tsu) AS end_micros,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY 1, 2),
+        |m AS (SELECT *, max(seq) OVER (PARTITION BY user_id) AS mx FROM g)
+        |SELECT user_id, start_micros, end_micros, n_events FROM m WHERE seq < mx""".stripMargin,
 
     "q_sessionize" ->
       """SELECT event_id, user_id,

@@ -66,6 +66,43 @@ object Streams {
     out
   }
 
+  /** STREAMING sessionization end-to-end: the events feed through
+    * [[Sessionize.streamingSessions]]'s `flatMapGroupsWithState` — an open
+    * session per user lives in the state store across micro-batches and a
+    * session row is emitted only when a later event closes it by exceeding
+    * the gap. Run to backlog completion (AvailableNow), the emitted set is
+    * exactly "every session except each user's final (still-open) one" —
+    * which is what makes the stateful path batch-oracle-checkable.
+    *
+    * Scale notes: state is one OpenSession (3 longs) per active user,
+    * independent of history length; on a live feed add a state TTL
+    * (GroupStateTimeout) for users that go quiet forever. */
+  def streamSessions(spark: SparkSession, eventsDir: String,
+                     gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val (base, glob) = {
+      val p = new java.io.File(eventsDir)
+      if (p.isFile) (p.getParent, p.getName) else (eventsDir, "*")
+    }
+    val events = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(base)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_micros"))
+      .as[Sessionize.Event]
+    val q = Sessionize.streamingSessions(events, gapMinutes).toDF()
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    out
+  }
+
   /** STREAMING exact dedup: the dedup pillar applied to a live feed — emit
     * each distinct `keys` combination once, however many times and across
     * however many micro-batches it arrives. `dropDuplicates` keeps
