@@ -210,7 +210,11 @@ object Bench {
         System.err.println(s"[bench] suite aborted, emitting partial results: ${e.getMessage}")
     } finally {
       try spark.stop() catch { case _: Throwable => () }
-      emit(runOracleBench(sfDir, cpus))
+      // ratio denominator = the queries Spark actually measured, so a failed
+      // or aborted suite cannot produce a spuriously LOW ratio (partial spark
+      // total over the full oracle total)
+      val measured = best.collect { case (k, (sec, _)) if sec >= 0 => k }.toSeq
+      emit(runOracleBench(sfDir, cpus, measured))
     }
   }
 
@@ -218,13 +222,17 @@ object Bench {
     * duckdb; see tools/oracle_bench.py) and return (total_sec, full JSON
     * line). Skipped quietly when the tool or its runtime is unavailable —
     * the artifact then carries oracle_total_sec: null rather than a guess. */
-  private def runOracleBench(sfDir: String, cpus: String): Option[(Double, String)] =
+  private def runOracleBench(sfDir: String, cpus: String,
+                             measured: Seq[String]): Option[(Double, String)] =
     try {
       val script = new java.io.File("tools/oracle_bench.py")
       if (!script.exists()) {
         System.err.println("[bench] tools/oracle_bench.py not found; skipping oracle total")
         None
-      } else runOracleScript(script, sfDir, cpus)
+      } else if (measured.isEmpty) {
+        System.err.println("[bench] no successful measurements; skipping oracle total")
+        None
+      } else runOracleScript(script, sfDir, cpus, measured)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] oracle bench unavailable: ${e.getMessage}")
@@ -257,18 +265,21 @@ object Bench {
     ()
   }
 
-  private def runOracleScript(script: java.io.File, sfDir: String,
-                              cpus: String): Option[(Double, String)] = {
+  private def runOracleScript(script: java.io.File, sfDir: String, cpus: String,
+                              measured: Seq[String]): Option[(Double, String)] = {
       System.err.println("[bench] timing DuckDB oracle suite for the ratio denominator…")
       dumpOracleSql(new java.io.File("/tmp/graft_oracle_bench"))
       val pb = new ProcessBuilder("python3", script.getPath, sfDir, cpus)
-      pb.redirectErrorStream(false)
+      // scope the oracle run to the queries Spark actually measured
+      pb.environment().put("SPARK_GRAFT_ONLY", measured.mkString(","))
+      // stderr flows straight to ours: buffering it behind the stdout read
+      // would deadlock once the child fills the pipe with diagnostics
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
-      val err = scala.io.Source.fromInputStream(proc.getErrorStream).mkString
       val code = proc.waitFor()
       if (code != 0) {
-        System.err.println(s"[bench] oracle bench exited $code: ${err.takeRight(500)}")
+        System.err.println(s"[bench] oracle bench exited $code")
         None
       } else {
         val line = out.linesIterator.filter(_.startsWith("{\"metric\":\"oracle_total\"")).toSeq.lastOption

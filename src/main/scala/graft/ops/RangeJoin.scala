@@ -55,7 +55,10 @@ object RangeJoin {
     val p = points.withColumn("__bin", floorDiv(col(ptCol), binWidth).cast("long"))
     val binStart = floorDiv(col(startCol), binWidth).cast("long")
     val binEnd = floorDiv(col(endCol), binWidth).cast("long")
-    val guarded = when(binEnd - binStart >= lit(maxBins),
+    // span compared in doubles: a long subtraction wraps negative past 2^63
+    // (open sentinel bounds) and would skip the guard; double precision at
+    // that magnitude is ±ulp — irrelevant against a ~1e6 cap
+    val guarded = when(binEnd.cast("double") - binStart.cast("double") >= lit(maxBins.toDouble),
       raise_error(concat(
         lit(s"RangeJoin: interval spans more than $maxBins bins of width $binWidth ["),
         col(startCol).cast("string"), lit(", "), col(endCol).cast("string"),

@@ -166,20 +166,29 @@ object Crawl {
       case Some(cache) =>
         val spark = keys.sparkSession
         import spark.implicits._
+        val n = fetchParts(spark, partitionsHint)
         val u = cache
           .select(col("name").cast("string"), col("latest").cast("string"),
-            col("etag").cast("string"))
+            col("etag").cast("string"), lit(1).as("cached"))
           .unionByName(keys.select(col("name").cast("string"),
-            lit(null).cast("string").as("latest"), lit(null).cast("string").as("etag")))
+            lit(null).cast("string").as("latest"), lit(null).cast("string").as("etag"),
+            lit(0).as("cached")))
         // per name: at most one cached row (this operator wrote the snapshot)
-        // and possibly a trigger marker — max() surfaces the cached fields
-        u.groupBy(col("name"))
-          .agg(max(col("latest")).as("latest"), max(col("etag")).as("etag"))
-          .as[(String, String, String)]
+        // and possibly a trigger marker — max() surfaces the cached fields.
+        // cached/new is classified by PROVENANCE (the cached flag), not by
+        // etag nullability: a Source may legally return a null etag, and its
+        // cached row must still survive a Gone (snapshot never pruned).
+        // The explicit repartition on the group key sets the fetch width to
+        // the hint (the groupBy reuses the partitioning — still ONE shuffle).
+        u.repartition(n, col("name"))
+          .groupBy(col("name"))
+          .agg(max(col("latest")).as("latest"), max(col("etag")).as("etag"),
+            max(col("cached")).as("cached"))
+          .as[(String, String, String, Int)]
           .mapPartitions { it =>
-            it.flatMap { case (key, cachedLatest, etag) =>
-              if (etag != null)
-                fetchWithRetry(source, key, Some(etag), maxAttempts, retrySleepMs) match {
+            it.flatMap { case (key, cachedLatest, etag, cached) =>
+              if (cached == 1)
+                fetchWithRetry(source, key, Option(etag), maxAttempts, retrySleepMs) match {
                   case Fetch.Ok(content, newEtag) => Some((key, content, newEtag))
                   case Fetch.NotModified => Some((key, cachedLatest, etag))
                   case Fetch.Gone => Some((key, cachedLatest, etag)) // survives
