@@ -6,11 +6,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expr.{AffineGapSimilarity, KmvMinHashes, LongDotProduct}
 
-/** Session extensions registering the engine's native expressions for SQL use.
+/** Session extensions registering the engine's native expressions for SQL use
+  * and the custom planner strategies (the as-of join physical operator).
   * Install with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
-  * the DataFrame API works without registration via the Column wrappers. */
+  * the DataFrame API works without registration via the Column wrappers —
+  * except [[graft.plans.AsofJoinExec]], whose logical node needs the
+  * strategy to be plannable. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("affine_gap_sim"),
       new ExpressionInfo(classOf[AffineGapSimilarity].getName, null, "affine_gap_sim",

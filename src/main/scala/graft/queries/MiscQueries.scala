@@ -126,6 +126,23 @@ object MiscQueries {
         valCols = Seq("view_value"))
     }),
 
+    // as-of join through the NATIVE physical operator (AsofJoinNode ->
+    // AsofJoinStrategy -> AsofJoinExec, injected by GraftExtensions): same
+    // click/view enrichment and the same DuckDB ASOF oracle as q_asof_join,
+    // but executed as a declared-requirements sort-merge pass instead of
+    // the union-window composition
+    "q_asof_exec" -> ((s, dir) => {
+      val events = s.read.schema(graft.streaming.Streams.eventsSchema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val views = events.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("value").as("view_value"))
+      graft.plans.AsofJoinExec.asofLeft(clicks, views, keys = Seq("user_id"),
+        tsCol = "ts_us", valCols = Seq("view_value"))
+    }),
+
     // forward as-of join: each click picks up the value of the user's
     // EARLIEST view at-or-after it (next-event enrichment; same union-window
     // plan scanning time the other way)
@@ -417,6 +434,17 @@ object MiscQueries {
     "q_skew_join" ->
       """SELECT l_orderkey, l_partkey, l_quantity, p_name
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    // the native AsofJoinExec path against DuckDB's native ASOF JOIN
+    "q_asof_exec" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (
