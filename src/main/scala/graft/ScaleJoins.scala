@@ -82,6 +82,22 @@ object ScaleJoins {
     val asofSec = (System.nanoTime() - t0) / 1e9
     val asofStraggler = straggler()
 
+    // the same enrichment through the NATIVE sort-merge operator
+    // (AsofJoinExec): identical semantics, so the row counts must agree —
+    // the measured delta is pure execution-shape (no union padding, no
+    // carry struct, no window buffer)
+    val tExec = System.nanoTime()
+    val asofExec = graft.plans.AsofJoinExec.asofLeft(
+      clicks.withColumnRenamed("click_id", "event_id"),
+      views.groupBy("user_id", "ts_us").agg(max("value").as("view_value")),
+      keys = Seq("user_id"), tsCol = "ts_us", valCols = Seq("view_value"))
+    val asofExecRows = asofExec.count()
+    val asofExecMatched = asofExec.filter(col("view_value").isNotNull).count()
+    val asofExecSec = (System.nanoTime() - tExec) / 1e9
+    val asofExecStraggler = straggler()
+    require(asofExecRows == asofRows && asofExecMatched == asofMatched,
+      s"native as-of diverged: $asofExecRows/$asofExecMatched vs $asofRows/$asofMatched")
+
     val t1 = System.nanoTime()
     val ranged = graft.ops.RangeJoin.pointInRange(
       clicks,
@@ -95,8 +111,9 @@ object ScaleJoins {
 
     println(s"""{"metric":"scale_joins","events":$total,"users":$nUsers,""" +
       s""""asof_sec":$asofSec,"asof_rows":$asofRows,"asof_matched":$asofMatched,""" +
+      s""""asof_exec_sec":$asofExecSec,""" +
       s""""range_sec":$rangeSec,"range_rows":$rangeRows,""" +
-      s""""stragglers":{"asof":$asofStraggler,"range":$rangeStraggler}}""")
+      s""""stragglers":{"asof":$asofStraggler,"asof_exec":$asofExecStraggler,"range":$rangeStraggler}}""")
     spark.stop()
   }
 }
