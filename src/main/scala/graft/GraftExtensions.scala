@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{AffineGapSimilarity, KmvMinHashes, LongDotProduct}
+import graft.expr.{AffineGapSimilarity, KmvMinHashes, LongDotProduct, TopK}
 
 /** Session extensions registering the engine's native expressions for SQL use
   * and the custom planner strategies (the as-of join physical operator).
@@ -39,6 +39,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "kmv_minhashes takes exactly 2 arguments")
         require(children(1).foldable, "kmv_minhashes k must be a literal")
         KmvMinHashes(children(0),
+          children(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopK].getName, null, "top_k",
+        "_FUNC_(v, k) - the k largest values of v per group, sorted descending.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "top_k takes exactly 2 arguments")
+        require(children(1).foldable, "top_k k must be a literal")
+        TopK(children(0),
           children(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
       }))
   }

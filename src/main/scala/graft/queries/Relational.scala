@@ -102,6 +102,18 @@ object Relational {
         .select("o_custkey", "o_orderkey", "o_totalprice")
     }),
 
+    // A3 at scale: top-k rows per key via the bounded-heap TopK aggregate
+    // (graft.expr.TopK) — shuffles groups x k partial states instead of
+    // every row; the oracle is the row_number window formulation
+    "q_topk_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(graft.expr.TopK(
+          struct(col("o_totalprice"), col("o_orderkey")), 3).as("top"))
+        .select(col("o_custkey"), explode(col("top")).as("t"))
+        .select(col("o_custkey"), col("t.o_orderkey"), col("t.o_totalprice"))
+    }),
+
     // J1: single-key LEFT join (reference group/meta.py:10-24)
     "q_join_left" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -254,6 +266,14 @@ object Relational {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    // struct(o_totalprice, o_orderkey) descending = price desc, key desc
+    "q_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
 
     "q_join_left" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
