@@ -15,6 +15,7 @@ import graft.expr.{AffineGapSimilarity, KmvMinHashes, LongDotProduct, TopK}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinPruning)
     ext.injectFunction((
       new FunctionIdentifier("affine_gap_sim"),
       new ExpressionInfo(classOf[AffineGapSimilarity].getName, null, "affine_gap_sim",

@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, Attribute, BindReferences, Descending, Expression,
   GenericInternalRow, JoinedRow, NamedExpression, RowOrdering, SortOrder,
   UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -62,6 +63,30 @@ case class AsofJoinNode(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+/** Column pruning THROUGH the custom node: Catalyst's ColumnPruning rule
+  * only knows built-in operators, so without help a `select` above an
+  * [[AsofJoinNode]] would leave the left scan reading every column. This
+  * rule (registered by [[graft.GraftExtensions]] via `injectOptimizerRule`)
+  * restores the cooperation: a Project above the node pushes a left-side
+  * Project keeping only (referenced left columns + the node's own keys/ts
+  * references), and drops carried value columns the Project never reads.
+  * The right side needs no help — the builder pre-prunes it to
+  * keys + ts + values. */
+object AsofJoinPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, a: AsofJoinNode) =>
+      val needed = p.references ++ a.references
+      val neededLeft = a.left.output.filter(needed.contains)
+      val neededVals = a.rightVals.filter(v => p.references.contains(v.toAttribute))
+      val pruneLeft = neededLeft.length < a.left.output.length
+      val pruneVals = neededVals.length < a.rightVals.length
+      if (pruneLeft || pruneVals) {
+        val newLeft = if (pruneLeft) Project(neededLeft, a.left) else a.left
+        p.copy(child = a.copy(left = newLeft, rightVals = neededVals))
+      } else p
+  }
 }
 
 /** Planner strategy mapping [[AsofJoinNode]] to [[AsofJoinExec]].

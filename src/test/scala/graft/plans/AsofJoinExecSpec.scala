@@ -104,6 +104,20 @@ class AsofJoinExecSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out === Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0)))
   }
 
+  test("AsofJoinPruning: a select above the node prunes unused left columns and values") {
+    val left = Seq((1L, 10L, 5L, "wide1", "wide2", 3.14))
+      .toDF("event_id", "user_id", "ts", "w1", "w2", "w3")
+    val right = Seq((10L, 1L, 1.0, 2.0)).toDF("user_id", "ts", "va", "vb")
+    val out = AsofJoinExec.asofLeft(left, right, Seq("user_id"), "ts", Seq("va", "vb"))
+      .select("event_id", "va")
+    val node = out.queryExecution.optimizedPlan.collect { case a: AsofJoinNode => a }.head
+    // left child pruned to event_id + the node's own user_id/ts references
+    assert(node.left.output.map(_.name).toSet === Set("event_id", "user_id", "ts"))
+    // unreferenced carried value vb dropped
+    assert(node.rightVals.map(_.name) === Seq("va"))
+    assert(out.collect().map(_.toSeq).toSeq === Seq(Seq(1L, 1.0)))
+  }
+
   test("composite keys and left column order preserved") {
     val left = Seq((1L, 10L, 2L, 7L, "x")).toDF("event_id", "a", "b", "ts", "extra")
     val right = Seq((10L, 2L, 5L, 42.0), (10L, 3L, 5L, 41.0))
