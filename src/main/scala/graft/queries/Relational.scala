@@ -114,6 +114,22 @@ object Relational {
         .select(col("o_custkey"), col("t.o_orderkey"), col("t.o_totalprice"))
     }),
 
+    // A1 variant: exact per-group quantiles (Spark's percentile is the
+    // exact linear-interpolation estimator, same definition as DuckDB's
+    // quantile_cont; both sides round to 6dp to absorb the engines'
+    // algebraically-equal-but-ulp-different interpolation formulas)
+    "q_group_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 6).as("q25"),
+          round(element_at(col("q"), 2), 6).as("q50"),
+          round(element_at(col("q"), 3), 6).as("q75"),
+          round(element_at(col("q"), 4), 6).as("q95"))
+    }),
+
     // J1: single-key LEFT join (reference group/meta.py:10-24)
     "q_join_left" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -266,6 +282,14 @@ object Relational {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q_group_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |  round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS q95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // struct(o_totalprice, o_orderkey) descending = price desc, key desc
     "q_topk_agg" ->
