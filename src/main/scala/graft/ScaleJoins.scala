@@ -29,6 +29,9 @@ object ScaleJoins {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // many-group TypedImperativeAggregates (top_k, kmv) must hash, not
+      // sort: the 128-group default silently degrades them (see graft.expr.TopK)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -98,6 +101,31 @@ object ScaleJoins {
     require(asofExecRows == asofRows && asofExecMatched == asofMatched,
       s"native as-of diverged: $asofExecRows/$asofExecMatched vs $asofRows/$asofMatched")
 
+    // top-5 events per user: the bounded-heap TopK aggregate vs the window
+    // row_number idiom — same rows out; both are shuffle-bounded (the
+    // window via WindowGroupLimit), so this measures the constant factors
+    // (heap folds + interpreted struct eval vs codegen'd map-side sort)
+    val tTopkW = System.nanoTime()
+    val topkWindow = events
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id").desc)))
+      .filter(col("rn") <= 5).select("user_id", "value", "event_id")
+    val topkWindowRows = topkWindow.count()
+    val topkWindowSec = (System.nanoTime() - tTopkW) / 1e9
+    val topkWindowStraggler = straggler()
+
+    val tTopkA = System.nanoTime()
+    val topkAgg = events.groupBy("user_id")
+      .agg(graft.expr.TopK(struct(col("value"), col("event_id")), 5).as("top"))
+      .select(col("user_id"), explode(col("top")).as("t"))
+      .select(col("user_id"), col("t.value"), col("t.event_id"))
+    val topkAggRows = topkAgg.count()
+    val topkAggSec = (System.nanoTime() - tTopkA) / 1e9
+    val topkAggStraggler = straggler()
+    require(topkAggRows == topkWindowRows,
+      s"topk agg diverged: $topkAggRows vs $topkWindowRows rows")
+
     val t1 = System.nanoTime()
     val ranged = graft.ops.RangeJoin.pointInRange(
       clicks,
@@ -113,7 +141,9 @@ object ScaleJoins {
       s""""asof_sec":$asofSec,"asof_rows":$asofRows,"asof_matched":$asofMatched,""" +
       s""""asof_exec_sec":$asofExecSec,""" +
       s""""range_sec":$rangeSec,"range_rows":$rangeRows,""" +
-      s""""stragglers":{"asof":$asofStraggler,"asof_exec":$asofExecStraggler,"range":$rangeStraggler}}""")
+      s""""topk_window_sec":$topkWindowSec,"topk_agg_sec":$topkAggSec,"topk_rows":$topkAggRows,""" +
+      s""""stragglers":{"asof":$asofStraggler,"asof_exec":$asofExecStraggler,"range":$rangeStraggler,""" +
+      s""""topk_window":$topkWindowStraggler,"topk_agg":$topkAggStraggler}}""")
     spark.stop()
   }
 }

@@ -10,6 +10,9 @@ object Smoke {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // many-group TypedImperativeAggregates (top_k, kmv) must hash, not
+      // sort: the 128-group default silently degrades them (see graft.expr.TopK)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,15 +11,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
 /** Bounded-heap top-k aggregate: the k LARGEST values of `child` per group,
   * returned as an array sorted descending.
   *
-  * This is the scale-correct replacement for the window-function idiom
-  * `row_number() OVER (PARTITION BY g ORDER BY s DESC) <= k`: the window
-  * shuffles EVERY row to its group's partition and sorts there (Spark's
-  * WindowGroupLimit pushdown trims each map partition to k rows first, but
-  * the full (row, group) payload still rides the exchange and a per-group
-  * sort still runs reduce-side), while this aggregate folds rows into an
-  * O(k) heap per group map-side and shuffles only `groups x k` partial
-  * states — at 100 TB the exchange volume drops by orders of magnitude and
-  * no sort ever materializes a full group.
+  * Spark's own answer to top-k-per-key is the window idiom `row_number()
+  * OVER (PARTITION BY g ORDER BY s DESC) <= k`, and since Spark 3.5 the
+  * WindowGroupLimit pushdown makes that idiom shuffle-bounded too (each map
+  * partition is sorted and trimmed to k rows per group before the
+  * exchange). What the aggregate form adds is NOT asymptotics but shape:
+  * it composes with other aggregates in the SAME groupBy — top-k + counts
+  * + sums in one pass and one shuffle, where the window idiom needs a
+  * second shuffle and a join back; it emits the per-group array directly
+  * (no explode-and-refilter to get one row per group); it never sorts —
+  * O(k) heap folds instead of the window's full map-side sort — and it
+  * does not depend on the optimizer pattern-matching a rank filter.
+  * Measured honestly at 10M rows / 50k groups on local[32] (ScaleJoins):
+  * window 2.1s vs heap aggregate 3.4s — interpreted per-row struct eval
+  * costs more than the avoided sort when the shuffle is a local memcpy;
+  * both shuffle the same groups x k x partitions volume at cluster scale.
   *
   * For top-k ROWS, pass a struct whose FIRST fields are the ranking
   * expression and whose remaining fields are the payload (struct comparison
@@ -31,6 +37,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
   * The result is a pure function of the group's value multiset —
   * deterministic, so it sits under the DuckDB oracle gate like every exact
   * operator (oracle: the row_number window formulation).
+  *
+  * Execution note: TypedImperativeAggregates run under
+  * ObjectHashAggregateExec, whose hash map gives up and SORTS THE INPUT
+  * after `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * distinct groups per partition — and the default is only 128, which
+  * silently forfeits the heap's advantage on any real key cardinality.
+  * Aggregate state here is O(k) per group, so hashing is safe far beyond
+  * that; the engine's session builders raise the threshold to 256k.
+  * Sessions not built by this engine should do the same when using top_k
+  * over many groups.
   */
 case class TopK(
     child: Expression,
@@ -59,21 +75,24 @@ case class TopK(
   override def createAggregationBuffer(): java.util.PriorityQueue[Any] =
     new java.util.PriorityQueue[Any](k, ord)
 
-  private def offer(buf: java.util.PriorityQueue[Any], v: Any): Unit =
-    if (buf.size < k) { buf.add(v); () }
-    else if (ord.compare(v, buf.peek) > 0) { buf.poll(); buf.add(v); () }
+  // compare BEFORE copying: most rows lose to the heap minimum and are
+  // discarded without the (struct/string) deep copy — the copy only runs
+  // for the <= k rows per partition that actually enter the heap
+  private def offer(buf: java.util.PriorityQueue[Any], v: Any, copy: Any => Any): Unit =
+    if (buf.size < k) { buf.add(copy(v)); () }
+    else if (ord.compare(v, buf.peek) > 0) { buf.poll(); buf.add(copy(v)); () }
 
   override def update(buf: java.util.PriorityQueue[Any], input: InternalRow): java.util.PriorityQueue[Any] = {
     val v = child.eval(input)
-    // copy before keeping: eval of struct/string children returns buffers
-    // the scan reuses for the next row
-    if (v != null) offer(buf, InternalRow.copyValue(v))
+    // eval of struct/string children returns buffers the scan reuses for
+    // the next row, so anything RETAINED must be copied
+    if (v != null) offer(buf, v, InternalRow.copyValue)
     buf
   }
 
   override def merge(a: java.util.PriorityQueue[Any], b: java.util.PriorityQueue[Any]): java.util.PriorityQueue[Any] = {
     val it = b.iterator()
-    while (it.hasNext) offer(a, it.next())
+    while (it.hasNext) offer(a, it.next(), identity) // b's values are owned
     a
   }
 

@@ -9,6 +9,9 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // many-group TypedImperativeAggregates (top_k, kmv) must hash, not
+      // sort: the 128-group default silently degrades them (see graft.expr.TopK)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
