@@ -143,6 +143,20 @@ object MiscQueries {
         tsCol = "ts_us", valCols = Seq("view_value"))
     }),
 
+    // the native operator in FORWARD mode (same merge, time scanned
+    // descending) under DuckDB's forward ASOF oracle
+    "q_asof_exec_fwd" -> ((s, dir) => {
+      val events = s.read.schema(graft.streaming.Streams.eventsSchema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val views = events.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("value").as("view_value"))
+      graft.plans.AsofJoinExec.asofLeft(clicks, views, keys = Seq("user_id"),
+        tsCol = "ts_us", valCols = Seq("view_value"), forward = true)
+    }),
+
     // forward as-of join: each click picks up the value of the user's
     // EARLIEST view at-or-after it (next-event enrichment; same union-window
     // plan scanning time the other way)
@@ -434,6 +448,16 @@ object MiscQueries {
     "q_skew_join" ->
       """SELECT l_orderkey, l_partkey, l_quantity, p_name
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q_asof_exec_fwd" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts_us <= v.ts_us""".stripMargin,
 
     // the native AsofJoinExec path against DuckDB's native ASOF JOIN
     "q_asof_exec" ->

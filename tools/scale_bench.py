@@ -4,13 +4,17 @@ graft.ScaleJoins as-of/range, graft.ScaleAnn IVF) and merge their JSON lines
 into one machine-readable round artifact, so scale regressions are diffable
 round-over-round instead of living in README prose.
 
-Usage: python3 tools/scale_bench.py [out.json]
+Usage: python3 tools/scale_bench.py [out.json] [--only graft.ScaleJoins,...]
   out.json default SCALE_r08.json (pass SCALE_rNN.json per round)
+  --only re-runs just the named harnesses and merges their records into the
+  existing artifact — the recovery path when one harness's record was taken
+  under co-tenant load (row counts never change, only wall times inflate)
 
 Env knobs pass through to the harnesses (SCALE_COPIES, SCALE_EVENTS,
-SCALE_USERS, SPARK_GRAFT_CPUS, ...). Also prints the README markdown table
-derived from the artifact (--table re-prints it from an existing artifact
-without re-running).
+SCALE_USERS, SPARK_GRAFT_CPUS, ...). SCALE_LOAD_GATE (default 8.0) sets the
+1-min loadavg each harness waits for before starting. Also prints the README
+markdown table derived from the artifact (--table re-prints it from an
+existing artifact without re-running).
 """
 import glob
 import json
@@ -30,7 +34,11 @@ def loadavg():
         return -1.0
 
 
-def settle(gate=8.0, tries=10, nap=30):
+def settle(gate=None, tries=None, nap=30):
+    if gate is None:
+        gate = float(os.environ.get("SCALE_LOAD_GATE", "8.0"))
+    if tries is None:
+        tries = int(os.environ.get("SCALE_SETTLE_TRIES", "10"))
     """Back-to-back 32-thread harnesses leave a decaying 1-min load that
     inflates the next harness's single-sample numbers — wait (bounded) for it
     to drain, same discipline as Bench's per-sample load gate."""
@@ -77,9 +85,16 @@ def table(merged):
         ("As-of join", f"{j['events']:,} events / {j['users']:,} users (hot user ~1%)",
          f"{j['asof_sec']:.1f}s ({j['asof_rows']:,} rows)",
          f"{j['stragglers']['asof']:.2f}"),
+        ("As-of join, native AsofJoinExec", "same batch",
+         f"{j.get('asof_exec_sec', float('nan')):.1f}s (rows identical)",
+         f"{j['stragglers'].get('asof_exec', float('nan')):.2f}"),
         ("Range join (60s windows)", f"{j['events']:,} events",
          f"{j['range_sec']:.1f}s ({j['range_rows']:,} rows)",
          f"{j['stragglers']['range']:.2f}"),
+        ("Top-5/user: window vs top_k agg", f"{j['events']:,} events",
+         f"{j.get('topk_window_sec', float('nan')):.1f}s / "
+         f"{j.get('topk_agg_sec', float('nan')):.1f}s ({j.get('topk_rows', 0):,} rows)",
+         f"{j['stragglers'].get('topk_agg', float('nan')):.2f}"),
         ("IVF train (1 Lloyd round)", f"{a['vectors']:,} vectors, {a['n_lists']} lists",
          f"{a['train_sec']:.1f}s", f"{a['stragglers']['train']:.2f}"),
         ("IVF search nProbe=1 / 8", f"{a['queries']} queries, k={a['k']}",
@@ -97,10 +112,18 @@ def table(merged):
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else "SCALE_r08.json"
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = sys.argv[i + 1].split(",")
+        elif a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
     if "--table" in sys.argv:
         merged = json.load(open(out_path))
     else:
-        merged = {r["metric"]: r for r in (run_one(m) for m in HARNESSES)}
+        harnesses = HARNESSES if only is None else [h for h in HARNESSES if h in only]
+        merged = json.load(open(out_path)) if only is not None and os.path.exists(out_path) else {}
+        merged.update({r["metric"]: r for r in (run_one(m) for m in harnesses)})
         with open(out_path, "w") as f:
             json.dump(merged, f, indent=1)
         print(f"[scale] wrote {out_path}", file=sys.stderr)
