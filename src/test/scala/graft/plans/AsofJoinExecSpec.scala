@@ -118,6 +118,20 @@ class AsofJoinExecSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out.collect().map(_.toSeq).toSeq === Seq(Seq(1L, 1.0)))
   }
 
+  test("skewed keys: one key holding half the rows still agrees with the window form") {
+    val left = spark.range(0, 3000).selectExpr(
+      "id AS event_id",
+      "CASE WHEN id % 2 = 0 THEN 7 ELSE id % 23 END AS user_id", // key 7 ~ 52%
+      "(xxhash64(id, 5) % 500) AS ts")
+    val right = spark.range(0, 900).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 7 ELSE id % 19 END AS user_id",
+      "(xxhash64(id, 13) % 450) AS ts", "CAST(id AS DOUBLE) AS v")
+      .groupBy("user_id", "ts").agg(org.apache.spark.sql.functions.max("v").as("v"))
+    val viaWindow = AsofJoin.asofLeft(left, right, Seq("user_id"), "ts", Seq("v"))
+    val viaExec = AsofJoinExec.asofLeft(left, right, Seq("user_id"), "ts", Seq("v"))
+    assert(canon(viaExec) === canon(viaWindow))
+  }
+
   test("composite keys and left column order preserved") {
     val left = Seq((1L, 10L, 2L, 7L, "x")).toDF("event_id", "a", "b", "ts", "extra")
     val right = Seq((10L, 2L, 5L, 42.0), (10L, 3L, 5L, 41.0))

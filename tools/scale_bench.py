@@ -12,9 +12,15 @@ Usage: python3 tools/scale_bench.py [out.json] [--only graft.ScaleJoins,...]
 
 Env knobs pass through to the harnesses (SCALE_COPIES, SCALE_EVENTS,
 SCALE_USERS, SPARK_GRAFT_CPUS, ...). SCALE_LOAD_GATE (default 8.0) sets the
-1-min loadavg each harness waits for before starting. Also prints the README
-markdown table derived from the artifact (--table re-prints it from an
-existing artifact without re-running).
+1-min loadavg each harness waits for before starting; SCALE_SETTLE_TRIES
+bounds the wait. SCALE_RUNS (default 1) runs each harness K times and keeps
+the record with the smallest primary wall-time — the min-of-K defense
+against co-tenant load bursts that outlast a single harness (row counts are
+deterministic, so every run agrees on everything but the clock). Records
+carry load_at_start AND load_at_end: a burst that lands mid-run is
+self-identifying in the artifact. Also prints the README markdown table
+derived from the artifact (--table re-prints it from an existing artifact
+without re-running).
 """
 import glob
 import json
@@ -71,7 +77,25 @@ def run_one(main):
     print(f"[scale] {main}: {line}", file=sys.stderr)
     rec = json.loads(line)
     rec["load_at_start"] = load
+    rec["load_at_end"] = loadavg()
     return rec
+
+
+# per-harness primary wall-time: the min-of-K selector key
+PRIMARY = {
+    "scale_dedup": lambda r: r["pairs_sec"],
+    "scale_joins": lambda r: r["asof_sec"] + r["range_sec"],
+    "scale_ann": lambda r: r["brute_sec"] + r["ivf8_sec"],
+}
+
+
+def run_best(main):
+    runs = int(os.environ.get("SCALE_RUNS", "1"))
+    recs = [run_one(main) for _ in range(runs)]
+    best = min(recs, key=lambda r: PRIMARY.get(r["metric"], lambda _: 0.0)(r))
+    if runs > 1:
+        best["n_runs"] = runs
+    return best
 
 
 def table(merged):
@@ -123,7 +147,7 @@ def main():
     else:
         harnesses = HARNESSES if only is None else [h for h in HARNESSES if h in only]
         merged = json.load(open(out_path)) if only is not None and os.path.exists(out_path) else {}
-        merged.update({r["metric"]: r for r in (run_one(m) for m in harnesses)})
+        merged.update({r["metric"]: r for r in (run_best(m) for m in harnesses)})
         with open(out_path, "w") as f:
             json.dump(merged, f, indent=1)
         print(f"[scale] wrote {out_path}", file=sys.stderr)
