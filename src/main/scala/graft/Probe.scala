@@ -22,8 +22,7 @@ object Probe {
     val docs = ScaleCorpus.build(spark, sfDir, copies, n).localCheckpoint(true)
 
     val sets = Dedup.shingleSets(docs, "text", "doc_id", 5).localCheckpoint(true)
-    val sig = Dedup.minhashSignatures(
-      sets.select(col("doc_id"), explode(col("shs")).as("sh")), "doc_id", 8).localCheckpoint(true)
+    val sig = Dedup.minhashSignatures(sets, "doc_id", 8).localCheckpoint(true)
 
     val bandStructs = (0 until 4).map { b =>
       val bv = concat(col(s"h${b * 2}"), col(s"h${b * 2 + 1}"))

@@ -58,6 +58,45 @@ object ScaleBench {
     //  - maxBucketSize is the skew backstop for whatever hot keys remain.
     val numHashes = sys.env.getOrElse("SCALE_HASHES", "16").toInt
     val cap = sys.env.getOrElse("SCALE_BUCKET_CAP", "64").toInt
+    // SCALE_PROFILE=1: time each cascade stage to its own materialization
+    // (stderr only — the per-stage counts break the one-job exchange reuse,
+    // so the headline pairs_sec is NOT emitted in this mode)
+    if (sys.env.get("SCALE_PROFILE").contains("1")) {
+      import graft.llm.Dedup
+      def stage(name: String)(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val s = System.nanoTime()
+        val out = df.localCheckpoint(true) // eager: materializes here
+        System.err.println(
+          f"[profile] $name: ${(System.nanoTime() - s) / 1e9}%.1fs (${out.count()} rows)")
+        out
+      }
+      val sets = stage("shingleSets (5-char, distinct)")(
+        Dedup.shingleSets(docs, "text", "doc_id", 5))
+      val sig = stage("minhashSignatures (md5 + per-bin min)")(
+        Dedup.minhashSignatures(sets, "doc_id", numHashes))
+      val cand = stage("band+bucket-join+estimate")(
+        Dedup.lshCandidatesWithEstimate(sig, "doc_id", 4, numHashes / 4,
+          math.ceil((0.9 - 0.15) * numHashes).toInt, cap))
+      stage("exact verify")(
+        Dedup.verifiedJaccardFromSets(cand, sets, "doc_id").filter(col("jaccard") >= 0.9))
+      // same work through the API entry point, same JVM — divergence here
+      // means the fused call plans differently than the staged calls above
+      val tApi = System.nanoTime()
+      val viaApi = Dedup.minhashNearDups(docs, "text", "doc_id",
+        k = 5, numHashes = numHashes, bands = 4, threshold = 0.9, maxBucketSize = cap)
+      val tBuilt = System.nanoTime()
+      val nApi = viaApi.count()
+      System.err.println(f"[profile] API eager build: ${(tBuilt - tApi) / 1e9}%.1fs; " +
+        f"final count: ${(System.nanoTime() - tBuilt) / 1e9}%.1fs ($nApi rows)")
+      spark.stop(); return
+    }
+    // SCALE_PROFILE=explain: dump the one-job plan (does ReuseExchange fire?)
+    if (sys.env.get("SCALE_PROFILE").contains("explain")) {
+      graft.llm.Dedup.minhashNearDups(docs, "text", "doc_id",
+        k = 5, numHashes = numHashes, bands = 4, threshold = 0.9, maxBucketSize = cap)
+        .explain("formatted")
+      spark.stop(); return
+    }
     // checkpoint the pair set so the CC timing below measures CC alone, not a
     // second run of the cascade
     val pairs = graft.llm.Dedup.minhashNearDups(docs, "text", "doc_id",

@@ -49,10 +49,6 @@ object Dedup {
       .select(col(idCol),
         array_distinct(expr(
           s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))")).as("shs"))
-      // second pinned exchange ABOVE the set build: every downstream consumer
-      // (signature build, both verify sides) reuses this one exchange's
-      // shuffle files instead of re-running the per-row set construction
-      .repartition(n, col(idCol))
   }
 
   /** MinHash signature via One-Permutation Hashing (Li, Owen, Zhang,
@@ -64,16 +60,26 @@ object Dedup {
     * estimator. Empty bins (short documents) are densified by rotation —
     * borrow the next non-empty bin's minimum, the standard fix from the
     * follow-up densification literature — so signatures stay total.
+    * Input: the [[shingleSets]] shape (idCol, shs: array<string>).
     * Output: (id, h0..h{numHashes-1}). */
-  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val binned = shingles
-      .select(col(idCol), md5(col("sh")).as("d"))
-      .select(col(idCol),
-        (expr("instr('0123456789abcdef', substring(d, 1, 1)) - 1") % numHashes).as("bin"),
-        expr("substring(d, 2, 31)").as("hv"))
-    val mins = (0 until numHashes).map(j =>
-      min(when(col("bin") === j, col("hv"))).as(s"r$j"))
-    val raw = binned.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  def minhashSignatures(sets: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    // NARROW per-document fold: digest the doc's shingle array once, then
+    // take each bin's minimum with filter+transform+array_min inside the
+    // same projection — no explode, no exchange, no aggregate. The earlier
+    // explode + groupBy(min) formulation planned a SortAggregate (min over
+    // a var-length string buffer is not hash-aggregable), i.e. a full sort
+    // of the exploded shingle table (~1.5k rows/doc) behind a shuffle;
+    // per-doc array minima are the same values without moving a row.
+    // Semantics are bit-identical to the DuckDB oracle mirror: bin by the
+    // digest's first nibble mod numHashes, min over the remaining 31 hex
+    // chars, rotation densification for empty bins.
+    val ds = sets.select(col(idCol), expr("transform(shs, s -> md5(s))").as("ds"))
+    val raw = ds.select(col(idCol) +: (0 until numHashes).map { j =>
+      array_min(expr(
+        s"""transform(
+           |  filter(ds, d -> (instr('0123456789abcdef', substring(d, 1, 1)) - 1) % $numHashes = $j),
+           |  d -> substring(d, 2, 31))""".stripMargin)).as(s"r$j")
+    }: _*)
     raw.select(col(idCol) +: (0 until numHashes).map(j =>
       coalesce((0 until numHashes).map(i => col(s"r${(j + i) % numHashes}")): _*).as(s"h$j")): _*)
   }
@@ -196,20 +202,26 @@ object Dedup {
                       maxBucketSize: Int = 0): DataFrame = {
     val minM = if (minEstMatches >= 0) minEstMatches
                else math.ceil((threshold - 0.15) * numHashes).toInt
-    // ONE job, zero checkpoints: `sets` ends in a pinned exchange that the
-    // signature build and both verify sides reuse (Catalyst ReuseExchange —
-    // identical canonicalized subplans materialize once as shuffle files,
-    // which also beats localCheckpoint at scale: disk-backed, no executor
-    // memory pressure, no driver sync point per stage). The signature build
-    // explodes FROM the reused sets exchange so the md5 + 8-way min
-    // aggregation stays codegen'd, and its groupBy shuffles only the
-    // map-side-combined partial mins (8 values per doc per partition), never
-    // the exploded shingle rows; that groupBy exchange is in turn reused by
-    // both sides of the fused band+estimate self-join.
-    val sets = shingleSets(df, textCol, idCol, k)
-    val sig = minhashSignatures(sets.select(col(idCol), explode(col("shs")).as("sh")),
-      idCol, numHashes)
+    // EXPLICIT materialization of the two multiply-consumed intermediates,
+    // eager so every consumer reads stored blocks. An earlier formulation
+    // relied on Catalyst ReuseExchange to share `sets` via its pinned
+    // shuffle — but two of its three consumers reach it through the
+    // BROADCAST side of the verify joins, and a broadcast exchange
+    // re-executes its entire subplan from the scan (it never reads another
+    // exchange's shuffle files), so the shingle+digest pipeline ran up to
+    // 6× per query (measured round 8 at 100k docs: 143s one-job vs 26s
+    // staged — `.explain` showed 6 scans, 0 ReusedExchange). localCheckpoint
+    // stores MEMORY_AND_DISK on executors: the shingle arrays spill rather
+    // than pressure the heap, and the truncated lineage is a non-issue for
+    // a bounded two-stage pipeline consumed immediately downstream.
+    val sets = shingleSets(df, textCol, idCol, k).localCheckpoint(true)
+    val sig = minhashSignatures(sets, idCol, numHashes).localCheckpoint(true)
+    // the candidate set is tiny (pairs that agree on a band and the
+    // signature estimate) — materializing it lets the verify joins broadcast
+    // it against the stored shingle sets instead of replanning the whole
+    // candidate pipeline as a join input
     val pruned = lshCandidatesWithEstimate(sig, idCol, bands, numHashes / bands, minM, maxBucketSize)
+      .localCheckpoint(true)
     verifiedJaccardFromSets(pruned, sets, idCol).filter(col("jaccard") >= threshold)
   }
 
