@@ -117,7 +117,7 @@ object MiscQueries {
     "q_asof_join" -> ((s, dir) => {
       val events = s.read.schema(graft.streaming.Streams.eventsSchema)
         .parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", col("ts"))
       val clicks = events.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts_us")
       val views = events.filter(col("event_type") === "view")
@@ -134,7 +134,7 @@ object MiscQueries {
     "q_asof_exec" -> ((s, dir) => {
       val events = s.read.schema(graft.streaming.Streams.eventsSchema)
         .parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", col("ts"))
       val clicks = events.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts_us")
       val views = events.filter(col("event_type") === "view")
@@ -148,7 +148,7 @@ object MiscQueries {
     "q_asof_exec_fwd" -> ((s, dir) => {
       val events = s.read.schema(graft.streaming.Streams.eventsSchema)
         .parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", col("ts"))
       val clicks = events.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts_us")
       val views = events.filter(col("event_type") === "view")
@@ -163,7 +163,7 @@ object MiscQueries {
     "q_asof_forward" -> ((s, dir) => {
       val events = s.read.schema(graft.streaming.Streams.eventsSchema)
         .parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", col("ts"))
       val clicks = events.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts_us")
       val views = events.filter(col("event_type") === "view")
@@ -187,7 +187,7 @@ object MiscQueries {
     "q_range_join" -> ((s, dir) => {
       val events = s.read.schema(graft.streaming.Streams.eventsSchema)
         .parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", col("ts"))
       val clicks = events.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
       val windows = events.filter(col("event_type") === "view")
@@ -234,7 +234,7 @@ object MiscQueries {
         fn = { _ =>
           val events = s.read.schema(graft.streaming.Streams.eventsSchema)
             .parquet(s"$dir/events.parquet")
-            .withColumn("ts_us", expr("ts div 1000"))
+            .withColumn("ts_us", col("ts"))
           Seq(
             events.filter(col("event_type") === "click")
               .select("event_id", "user_id", "ts_us"),

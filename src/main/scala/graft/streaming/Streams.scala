@@ -16,12 +16,13 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Streams {
 
-  /** events.parquet schema, with the nanosecond timestamp read as a long
-    * (Spark's reader rejects TIMESTAMP(NANOS)); [[eventTime]] restores it. */
+  /** events.parquet schema: `ts` is TIMESTAMP(MICROS) on disk, read as the
+    * raw int64 µs-since-epoch long so the same schema also accepts plain-long
+    * fixtures; [[eventTime]] restores the timestamp. */
   val eventsSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
-  /** Nanos-long to proper event-time timestamp (exact: values are µs-grained). */
-  def eventTime = expr("timestamp_micros(ts div 1000)")
+  /** Micros-long to proper event-time timestamp. */
+  def eventTime = expr("timestamp_micros(ts)")
 
   private val runId = new AtomicInteger(0)
 
@@ -87,7 +88,7 @@ object Streams {
     }
     val events = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", glob).parquet(base)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_micros"))
+      .select(col("user_id"), col("event_id"), col("ts").as("ts_micros"))
       .as[Sessionize.Event]
     val q = Sessionize.streamingSessions(events, gapMinutes).toDF()
       .writeStream

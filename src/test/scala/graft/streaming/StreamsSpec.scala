@@ -91,13 +91,13 @@ class StreamsSpec extends AnyFunSuite {
 
   test("streamed windowed aggregation equals the batch equivalent on the same files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    // two hours of events, ts in nanos (as the driver's events table stores them)
-    def ns(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000000L
+    // two hours of events, ts in µs (as the driver's events table stores them)
+    def us(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000L
     Seq(
-      (1L, ns(0, 5), 1L, "click", 1.0, "{}"),
-      (2L, ns(0, 40), 1L, "click", 2.0, "{}"),
-      (3L, ns(0, 50), 2L, "view", 3.0, "{}"),
-      (4L, ns(1, 10), 2L, "click", 4.0, "{}")
+      (1L, us(0, 5), 1L, "click", 1.0, "{}"),
+      (2L, us(0, 40), 1L, "click", 2.0, "{}"),
+      (3L, us(0, 50), 2L, "view", 3.0, "{}"),
+      (4L, us(1, 10), 2L, "click", 4.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(dir)
 
