@@ -131,23 +131,38 @@ object Bench {
     queries.foreach { case (name, _) => best(name) = (-1.0, -1.0) }
     val samples = scala.collection.mutable.Map[String, List[(Double, Double)]]().withDefaultValue(Nil)
 
+    // The driver's artifact keeps only the LAST ~2000 chars of stdout (the
+    // full line has never survived: sbt appends its own lines after ours, so
+    // the driver's JSON parse fails every round and the truncated tail is
+    // what gets graded). Field order is therefore deliberate: bulky raw data
+    // (per-sample lists, the oracle's own line) goes FIRST, and the line ENDS
+    // with the compact summary — rounded per-query [sec, load] pairs, the
+    // slowest queries, totals, the spark/oracle ratio, and the failure count —
+    // sized to fit whole inside the preserved tail.
     def emit(oracle: Option[(Double, String)]): Unit = {
-      val qs = best.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val loads = best.map { case (k, (_, l)) => "\"" + k + "\":" + l }.mkString("{", ",", "}")
+      def r3(d: Double): Double = if (d < 0) d else math.round(d * 1000.0) / 1000.0
+      def r2(d: Double): Double = if (d < 0) d else math.round(d * 100.0) / 100.0
+      val qs = best.map { case (k, (v, l)) => "\"" + k + "\":[" + r3(v) + "," + r2(l) + "]" }
+        .mkString("{", ",", "}")
       val ss = samples.toSeq.sortBy(_._1).map { case (k, xs) =>
-        "\"" + k + "\":" + xs.reverse.map { case (s, l) => s"[$s,$l]" }.mkString("[", ",", "]")
+        "\"" + k + "\":" + xs.reverse.map { case (s, l) => s"[${r3(s)},${r2(l)}]" }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+      val slowest = best.toSeq.collect { case (k, (v, _)) if v >= 0 => (k, v) }
+        .sortBy(-_._2).take(8)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
       val failed = best.valuesIterator.count(_._1 < 0)
       val total = best.valuesIterator.map(_._1).filter(_ >= 0).sum
-      val oracleFields = oracle match {
-        case Some((oTotal, oJson)) =>
+      val oracleRaw = oracle.map { case (_, oJson) => s""""oracle":$oJson,""" }.getOrElse("")
+      val summary = oracle match {
+        case Some((oTotal, _)) =>
           val ratio = if (oTotal > 0) total / oTotal else -1.0
-          s""","spark_total_sec":$total,"oracle_total_sec":$oTotal,"ratio":$ratio,"oracle":$oJson"""
+          s""""spark_total_sec":${r3(total)},"oracle_total_sec":${r3(oTotal)},"ratio":${r3(ratio)}"""
         case None =>
-          s""","spark_total_sec":$total,"oracle_total_sec":null,"ratio":null"""
+          s""""spark_total_sec":${r3(total)},"oracle_total_sec":null,"ratio":null"""
       }
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
-        s""""sf":"$sfDir","load_gate":$loadGate,"loads":$loads,"samples":$ss$oracleFields}""")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""load_gate":$loadGate,"samples":$ss,$oracleRaw"queries":$qs,""" +
+        s""""slowest":$slowest,$summary,"failed":$failed,"n_queries":${best.size}}""")
     }
 
     def measure(pass: String, name: String, fn: (SparkSession, String) => DataFrame): Unit = {
