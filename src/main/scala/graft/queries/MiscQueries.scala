@@ -199,6 +199,13 @@ object MiscQueries {
         .select("click_id", "view_id", "user_id", "ts_us")
     }),
 
+    // STREAM-STREAM interval join: the range-join semantics with BOTH sides
+    // consumed as watermarked streams — click matched to same-user views
+    // whose 60s window contains it, join state bounded by watermark+interval
+    "q_stream_interval_join" -> ((s, dir) =>
+      graft.streaming.Streams.streamIntervalJoin(s, s"$dir/events.parquet",
+        windowSec = 60)),
+
     // STREAMING sessionization: flatMapGroupsWithState over the event feed —
     // per-user open sessions in the state store, a session emitted only when
     // a later event closes it; the oracle is the batch window formulation
@@ -423,6 +430,20 @@ object MiscQueries {
     // inequality condition with its own IEJoin, an independent execution
     // strategy for the same semantics
     "q_range_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |windows AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS w_start,
+        |    epoch_us(ts) + 60000000 AS w_end
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, w.view_id, c.user_id, c.ts_us
+        |FROM clicks c JOIN windows w
+        |  ON c.user_id = w.user_id AND c.ts_us BETWEEN w.w_start AND w.w_end""".stripMargin,
+
+    // the STREAM-STREAM formulation must produce the identical row set as
+    // the declarative batch range join over the same backlog
+    "q_stream_interval_join" ->
       """WITH clicks AS (
         |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events WHERE event_type = 'click'),

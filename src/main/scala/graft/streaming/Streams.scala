@@ -138,4 +138,56 @@ object Streams {
     spark.streams.resetTerminated()
     out
   }
+
+  /** STREAM-STREAM interval join: click events joined to view events of the
+    * same user when the click lands inside the 60s window after the view —
+    * the streaming formulation of the batch range join, both sides consumed
+    * AS STREAMS with watermarks bounding the join state.
+    *
+    * The equi-key (`user_id`) plus the two-sided time condition is exactly
+    * the shape Spark's stream-stream join requires for state eviction: each
+    * side's watermark plus the interval bound tells the engine when a
+    * buffered row can never match again and its state is dropped. Without
+    * the time bound the state store would grow without limit on a real feed.
+    *
+    * Scale notes: state per side is bounded by (watermark delay + interval)
+    * worth of events, independent of stream history; the join itself is a
+    * key-partitioned state lookup, no shuffle beyond the key exchange. An
+    * inner join emits rows eagerly on match, so results are identical to the
+    * batch/DuckDB IEJoin oracle over the same backlog. */
+  def streamIntervalJoin(spark: SparkSession, eventsDir: String,
+                         windowSec: Int): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val (base, glob) = {
+      val p = new java.io.File(eventsDir)
+      if (p.isFile) (p.getParent, p.getName) else (eventsDir, "*")
+    }
+    def side(): DataFrame = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(base)
+      .withColumn("event_ts", eventTime)
+    val clicks = side().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("ts_us"), col("event_ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val views = side().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("event_ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"), col("ts_us"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    out
+  }
 }

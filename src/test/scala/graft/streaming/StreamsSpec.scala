@@ -89,6 +89,25 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessionsSoFar() === Seq(Sessionize.Session(7L, 0L, 5 * min, 2L)))
   }
 
+  test("stream-stream interval join matches at both inclusive window bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjoin").toString
+    val sec = 1000000L
+    // base offset keeps event times clear of the initial watermark (epoch 0):
+    // a row AT the watermark is dropped as late by the join's state filter
+    val t0 = 86400L * sec
+    Seq(
+      (10L, t0, 1L, "view", 0.0, "{}"),
+      (11L, t0, 1L, "click", 0.0, "{}"),             // boundary: click at view time
+      (12L, t0 + 60L * sec, 1L, "click", 0.0, "{}"), // boundary: end is inclusive
+      (13L, t0 + 61L * sec, 1L, "click", 0.0, "{}"), // one second past the window
+      (14L, t0 + 30L * sec, 2L, "click", 0.0, "{}")  // same time, different user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val out = Streams.streamIntervalJoin(spark, dir, windowSec = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((11L, 10L), (12L, 10L)))
+  }
+
   test("streamed windowed aggregation equals the batch equivalent on the same files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // two hours of events, ts in µs (as the driver's events table stores them)
