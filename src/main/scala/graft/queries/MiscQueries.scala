@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{AsofJoin, Ids, Incremental, JsonFlatten, PortableHash, RangeJoin}
+import graft.ops.{AsofJoin, Ids, Incremental, JsonFlatten, PortableHash, RangeJoin, ZOrder}
 
 /** JSON flatten coverage (F7-F10), verifiable hash partitioning (W1/F4 scale
   * variant), F1 hash-id consistency, and the incremental cache-merge pattern. */
@@ -197,6 +197,16 @@ object MiscQueries {
         ptCol = "ts_us", startCol = "w_start", endCol = "w_end",
         binWidth = 60L * 1000000L)
         .select("click_id", "view_id", "user_id", "ts_us")
+    }),
+
+    // Z-order (Morton) interleave key — the clustered-write sort key as a
+    // first-class expression, checkable bit-for-bit: both engines interleave
+    // the low 10 bits of (l_partkey mod 1024, l_suppkey mod 1024)
+    "q_zorder_key" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        ZOrder.zkey(Seq(col("l_partkey") % 1024, col("l_suppkey") % 1024), bits = 10)
+          .as("zkey"))
     }),
 
     // STREAM-STREAM interval join: the range-join semantics with BOTH sides
@@ -440,6 +450,16 @@ object MiscQueries {
         |SELECT c.click_id, w.view_id, c.user_id, c.ts_us
         |FROM clicks c JOIN windows w
         |  ON c.user_id = w.user_id AND c.ts_us BETWEEN w.w_start AND w.w_end""".stripMargin,
+
+    // bit-interleave mirrored in DuckDB lambda arithmetic: column 0 owns the
+    // even output bits, column 1 the odd ones
+    "q_zorder_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(generate_series(0, 9), i ->
+        |    ((((l_partkey % 1024) >> i) & 1) << (2*i))
+        |    + ((((l_suppkey % 1024) >> i) & 1) << (2*i + 1))
+        |  )) AS BIGINT) AS zkey
+        |FROM lineitem""".stripMargin,
 
     // the STREAM-STREAM formulation must produce the identical row set as
     // the declarative batch range join over the same backlog
