@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{AffineGapSimilarity, KmvMinHashes, LongDotProduct, TopK}
+import graft.expr.{AffineGapSimilarity, FreqSketch, KmvMinHashes, LongDotProduct, TopK}
 
 /** Session extensions registering the engine's native expressions for SQL use
   * and the custom planner strategies (the as-of join physical operator).
@@ -41,6 +41,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children(1).foldable, "kmv_minhashes k must be a literal")
         KmvMinHashes(children(0),
           children(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_topk"),
+      new ExpressionInfo(classOf[FreqSketch].getName, null, "freq_topk",
+        "_FUNC_(v, k, capacity) - Misra-Gries frequency sketch: top k most frequent values from bounded state.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "freq_topk takes exactly 3 arguments")
+        require(children(1).foldable && children(2).foldable,
+          "freq_topk k and capacity must be literals")
+        FreqSketch(children(0),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("top_k"),

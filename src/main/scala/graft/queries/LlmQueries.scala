@@ -248,6 +248,20 @@ object LlmQueries {
     "q_vocab_top" -> ((s, dir) =>
       Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 100)),
 
+    // heavy hitters from BOUNDED state: per-language top-10 words via the
+    // Misra-Gries freq_topk aggregate — capacity 1024 exceeds the sf
+    // vocabulary, so counts are exact and the oracle is the exact group-count
+    // (at 100 TB the same plan runs with O(capacity) state per group while
+    // exact counting would hold the full vocabulary)
+    "q_heavy_hitters" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      words.groupBy("lang")
+        .agg(graft.expr.FreqSketch(col("word"), k = 10, capacity = 1024).as("hh"))
+        .select(col("lang"), explode(col("hh")).as("e"))
+        .select(col("lang"), col("e.value").as("word"), col("e.cnt").as("cnt"))
+    }),
+
     // multimodal plumbing: binary payload -> distributed (stub) decode -> meta
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
@@ -569,6 +583,19 @@ object LlmQueries {
         |  CAST(st // 512 AS BIGINT) AS seq_id,
         |  CAST(st % 512 AS BIGINT) AS seq_offset
         |FROM c""".stripMargin,
+
+    // exact regime: sketch capacity >= per-language vocabulary at this sf,
+    // so the sketch's counts equal the exact group-count
+    "q_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |counts AS (
+        |  SELECT lang, word, count(*) AS cnt FROM words GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, word, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
+        |  FROM counts)
+        |SELECT lang, word, cnt FROM ranked WHERE rn <= 10""".stripMargin,
 
     "q_vocab_top" ->
       """SELECT token, cnt, rank FROM (
