@@ -70,6 +70,40 @@ object Corpus {
       .withColumn("seq_offset", pmod(start, lit(maxTokens.toLong)).cast("long"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size overlapping chunks — the "long document into model-sized
+    * windows" step of every embedding/pretraining pipeline. Chunk `i`
+    * covers tokens `[i*stride, i*stride + chunkTokens)` with
+    * `stride = chunkTokens - overlap`; every document yields at least one
+    * chunk (short docs come through whole), and consecutive chunks share
+    * `overlap` tokens so no span is ever split without context.
+    *
+    * Scale shape: entirely NARROW — split + sequence/transform/slice HOFs +
+    * posexplode, zero shuffles; output size is input tokens x (1 +
+    * overlap/stride), known in advance. Deterministic, so the DuckDB list-
+    * slicing formulation oracle-checks it bit-exactly.
+    *
+    * @param chunkTokens window size in whitespace tokens
+    * @param overlap    tokens shared between consecutive chunks */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / lit(stride.toDouble)).cast("int"))
+    df.withColumn("__toks", toks)
+      .withColumn("__nc", nChunks)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(chunkTokens)))).as(Seq("chunk_id", "__ct")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("__ct"), " ").as("chunk_text"),
+        size(col("__ct")).cast("long").as("n_tokens"))
+  }
+
   /** Vocabulary build: the `topN` most frequent whitespace tokens with
     * counts and a deterministic rank (count desc, token asc) — the
     * tokenizer-training prep step.

@@ -248,6 +248,12 @@ object LlmQueries {
     "q_vocab_top" -> ((s, dir) =>
       Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 100)),
 
+    // context-window chunking: 128-token windows with 32-token overlap,
+    // entirely narrow (no shuffle) — long docs into model-sized pieces
+    "q_chunk_documents" -> ((s, dir) =>
+      Corpus.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 128, overlap = 32)),
+
     // heavy hitters from BOUNDED state: per-language top-10 words via the
     // Misra-Gries freq_topk aggregate — capacity 1024 exceeds the sf
     // vocabulary, so counts are exact and the oracle is the exact group-count
@@ -583,6 +589,22 @@ object LlmQueries {
         |  CAST(st // 512 AS BIGINT) AS seq_id,
         |  CAST(st % 512 AS BIGINT) AS seq_offset
         |FROM c""".stripMargin,
+
+    // same windows via DuckDB list slicing (1-based inclusive bounds =
+    // Spark's slice(start, length) with clamping on both engines)
+    "q_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    greatest(1, CAST(ceil((n - 32) / 96.0) AS INT)) AS nc
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(toks, i*96 + 1, i*96 + 128), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, i*96 + 1, i*96 + 128)) AS BIGINT) AS n_tokens
+        |FROM c, UNNEST(generate_series(0, nc - 1)) AS u(i)""".stripMargin,
 
     // exact regime: sketch capacity >= per-language vocabulary at this sf,
     // so the sketch's counts equal the exact group-count

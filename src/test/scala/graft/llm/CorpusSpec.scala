@@ -45,6 +45,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(5L) === ((8L, 0L, 2L)))
   }
 
+  test("chunk: short doc passes through whole, long doc windows with overlap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"),                             // 3 tokens < window -> 1 chunk
+      (2L, (1 to 10).map("t" + _).mkString(" ")) // 10 tokens, window 4, overlap 1
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(out(1L) === Seq((1L, 0L, "a b c", 3L)))
+    // stride 3, ceil((10-1)/3) = 3 chunks: tokens 1-4, 4-7, 7-10 cover all
+    assert(out(2L) === Seq(
+      (2L, 0L, "t1 t2 t3 t4", 4L),
+      (2L, 1L, "t4 t5 t6 t7", 4L),
+      (2L, 2L, "t7 t8 t9 t10", 4L)))
+    // consecutive chunks share exactly `overlap` tokens
+    val texts = out(2L).map(_._3.split(" ").toSeq)
+    texts.sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(1) === b.take(1)) }
+  }
+
+  test("chunk: exact multiple of stride does not emit an empty trailing chunk") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 7).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    // window 4, overlap 1, stride 3: ceil((7-1)/3) = 2 chunks, tokens 1-4, 4-7
+    val out = Corpus.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq === Seq("t1 t2 t3 t4", "t4 t5 t6 t7"))
+  }
+
   test("vocabulary: rank contiguous, counts non-increasing, ties broken by token") {
     val v = Corpus.vocabulary(docs, "text", topN = 3)
       .select("token", "cnt", "rank").as[(String, Long, Long)].collect().sortBy(_._3)
