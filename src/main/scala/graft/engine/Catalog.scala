@@ -74,6 +74,17 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path(id))
   }
 
+  /** Z-order-clustered overwrite: rows laid out along the Morton curve of
+    * `zorderCols`, giving every output file a tight min/max envelope on ALL
+    * clustered columns — selective filters on any of them prune files, where
+    * [[writePartitioned]] only prunes on the partition column and a linear
+    * sort only on its leading key. See [[graft.ops.ZOrder]]. */
+  def writeZOrdered(df: DataFrame, id: String, zorderCols: Seq[String],
+                    numFiles: Int): Unit = {
+    external.remove(id)
+    graft.ops.ZOrder.clusteredWrite(df, zorderCols, path(id), numFiles)
+  }
+
   /** Bucketed managed table: rows hash-clustered into `numBuckets` files per
     * the bucket columns. Two tables bucketed the same way equi-join WITHOUT a
     * shuffle — the co-located-join layout for repeatedly-joined 100 TB facts.

@@ -80,6 +80,19 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-ordered write round-trips rows and produces several curve-ordered files") {
+    val cat = freshCat()
+    val df = spark.range(0, 4096)
+      .selectExpr("id", "id % 64 AS a", "(id * 37) % 64 AS b")
+    cat.writeZOrdered(df, "tz", Seq("a", "b"), numFiles = 4)
+    val back = cat.read("tz")
+    assert(TestSpark.rows(back) === TestSpark.rows(df))
+    assert(back.schema.fieldNames.toSeq === df.schema.fieldNames.toSeq) // layout col dropped
+    val files = new java.io.File(cat.path("tz")).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 4)
+  }
+
   test("link reads an external dataset without copying; write stays internal") {
     val cat = freshCat()
     val extDir = Files.createTempDirectory("graft_ext").toString
