@@ -26,6 +26,22 @@ object Streams {
 
   private val runId = new AtomicInteger(0)
 
+  /** Size the state-store fan-out to the backlog. A stateful streaming
+    * operator creates one-to-four state stores PER SHUFFLE PARTITION, each
+    * committing a delta file every micro-batch — at the session's 32
+    * partitions that is >100 store commits to drain a few-MB parity
+    * backlog, and the commits dominate the wall time. Gate on the planner's
+    * batch estimate of the same files (StaticScope's statistics dispatch):
+    * a small backlog runs with a handful of partitions, a real feed leaves
+    * the session setting untouched. Sound because the whole run-to-
+    * completion (start → awaitTermination → sink copy) happens inside the
+    * scope. */
+  private def scopedStateful[T](spark: SparkSession, base: String, glob: String)(body: => T): T = {
+    val batchView = spark.read.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(base)
+    graft.ops.StaticScope.scoped(batchView, minParts = 8)(body)
+  }
+
   /** Tumbling-window event aggregation over a parquet directory consumed AS A
     * STREAM: watermark + 1h window, count + exact decimal sum per event type.
     * Runs the backlog to completion (AvailableNow) and returns the result.
@@ -50,21 +66,24 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
 
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // Copy the result OUT of the memory sink and drop the sink table at once:
-    // sink tables pin their rows on the driver for the session's lifetime, and
-    // a bench loop calling this repeatedly would accumulate one per call. The
-    // checkpointed copy lives in unpersist-able RDD blocks instead.
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    spark.streams.resetTerminated()
-    out
+    scopedStateful(spark, base, glob) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Copy the result OUT of the memory sink and drop the sink table at
+      // once: sink tables pin their rows on the driver for the session's
+      // lifetime, and a bench loop calling this repeatedly would accumulate
+      // one per call. The checkpointed copy lives in unpersist-able RDD
+      // blocks instead.
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+      out
+    }
   }
 
   /** STREAMING sessionization end-to-end: the events feed through
@@ -90,18 +109,20 @@ object Streams {
       .option("pathGlobFilter", glob).parquet(base)
       .select(col("user_id"), col("event_id"), col("ts").as("ts_micros"))
       .as[Sessionize.Event]
-    val q = Sessionize.streamingSessions(events, gapMinutes).toDF()
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    spark.streams.resetTerminated()
-    out
+    scopedStateful(spark, base, glob) {
+      val q = Sessionize.streamingSessions(events, gapMinutes).toDF()
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+      out
+    }
   }
 
   /** STREAMING exact dedup: the dedup pillar applied to a live feed — emit
@@ -126,17 +147,19 @@ object Streams {
       .option("pathGlobFilter", glob).parquet(base)
       .select(keys.map(col): _*)
       .dropDuplicates(keys)
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    spark.streams.resetTerminated()
-    out
+    scopedStateful(spark, base, glob) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+      out
+    }
   }
 
   /** STREAM-STREAM interval join: click events joined to view events of the
@@ -178,16 +201,18 @@ object Streams {
         col("c_ts") >= col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr(s"INTERVAL $windowSec SECONDS"))
       .select(col("click_id"), col("view_id"), col("c_user").as("user_id"), col("ts_us"))
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    spark.streams.resetTerminated()
-    out
+    scopedStateful(spark, base, glob) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+      out
+    }
   }
 }
