@@ -70,6 +70,40 @@ object Corpus {
       .withColumn("seq_offset", pmod(start, lit(maxTokens.toLong)).cast("long"))
   }
 
+  /** Token-budget corpus mixing: derive each source's keep-rate from a
+    * TOKEN budget and apply it with the same portable hash gate as
+    * [[stratifiedSample]] — "30B tokens of web, 5B of code, all of
+    * wikipedia" declared as budgets instead of hand-tuned percentages,
+    * which is how mixture recipes are actually written.
+    *
+    * The expected kept token count per source is ~min(budget, total); the
+    * hash gate makes membership deterministic and stable under
+    * re-partitioning, engine changes, and incremental reruns.
+    *
+    * Scale shape: one map-combinable totals agg (driver state = one row per
+    * SOURCE — the same bounded statistics pass as IVF seeding and the
+    * z-order min/max scan), then a narrow filter. Rates use pure integer
+    * arithmetic (basis points via long division), so an independent engine
+    * reproduces the exact row set.
+    *
+    * @param idCol   SQL expression string for the identity to hash
+    * @param budgets source value -> token budget; sources absent from the
+    *                map keep everything (budget = unlimited) */
+  def mixByTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+                       tokenCol: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val totals = df.groupBy(col(sourceCol)).agg(sum(tokenCol.cast("long")).as("__tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val threshold = totals.foldLeft(lit(10000L)) { case (acc, (src, tot)) =>
+      val th = budgets.get(src) match {
+        case Some(b) if b < tot => b * 10000L / tot // bp, exact long arithmetic
+        case _ => 10000L
+      }
+      when(col(sourceCol) === src, lit(th)).otherwise(acc)
+    }
+    df.filter(graft.ops.PortableHash.md5Mod(idCol, 10000) < threshold)
+  }
+
   /** Context-window chunking: split each document's token stream into
     * fixed-size overlapping chunks — the "long document into model-sized
     * windows" step of every embedding/pretraining pipeline. Chunk `i`

@@ -248,6 +248,17 @@ object LlmQueries {
     "q_vocab_top" -> ((s, dir) =>
       Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 100)),
 
+    // token-budget mixture: per-source keep-rates derived from token
+    // budgets (basis points, exact integer arithmetic), applied via the
+    // portable md5 gate — deterministic corpus mixing the oracle replays
+    "q_mix_budget" -> ((s, dir) => {
+      Corpus.mixByTokenBudget(t(s, dir, "documents"),
+        idCol = "cast(doc_id AS string)", sourceCol = "source",
+        tokenCol = size(split(col("text"), " ")),
+        budgets = Map("src0" -> 200L, "src1" -> 500L, "src2" -> 0L, "src3" -> 100000L))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // context-window chunking: 128-token windows with 32-token overlap,
     // entirely narrow (no shuffle) — long docs into model-sized pieces
     "q_chunk_documents" -> ((s, dir) =>
@@ -589,6 +600,27 @@ object LlmQueries {
         |  CAST(st // 512 AS BIGINT) AS seq_id,
         |  CAST(st % 512 AS BIGINT) AS seq_offset
         |FROM c""".stripMargin,
+
+    // the mixture replayed declaratively: per-source token totals, budget ->
+    // basis-point threshold in exact integer arithmetic, the same md5 gate
+    "q_mix_budget" -> {
+      def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents),
+         |tot AS (SELECT source, sum(n) AS tot FROM t GROUP BY source),
+         |th AS (
+         |  SELECT source,
+         |    CASE source
+         |      WHEN 'src0' THEN CASE WHEN 200 < tot THEN 200 * 10000 // tot ELSE 10000 END
+         |      WHEN 'src1' THEN CASE WHEN 500 < tot THEN 500 * 10000 // tot ELSE 10000 END
+         |      WHEN 'src2' THEN CASE WHEN 0 < tot THEN 0 ELSE 10000 END
+         |      WHEN 'src3' THEN CASE WHEN 100000 < tot THEN 100000 * 10000 // tot ELSE 10000 END
+         |      ELSE 10000 END AS th
+         |  FROM tot)
+         |SELECT t.doc_id, t.source
+         |FROM t JOIN th ON t.source = th.source
+         |WHERE (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 10000 < th.th""".stripMargin
+    },
 
     // same windows via DuckDB list slicing (1-based inclusive bounds =
     // Spark's slice(start, length) with clamping on both engines)

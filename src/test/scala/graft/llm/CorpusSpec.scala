@@ -45,6 +45,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(5L) === ((8L, 0L, 2L)))
   }
 
+  test("mixByTokenBudget: zero budget drops a source, ample budget keeps all, partial thins") {
+    import spark.implicits._
+    // 50 docs x 10 tokens per source = 500 tokens/source
+    val df = (0 until 150).map { i =>
+      (i.toLong, s"src${i % 3}", Seq.fill(10)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Corpus.mixByTokenBudget(df, "cast(doc_id AS string)", "source",
+      org.apache.spark.sql.functions.size(split(col("text"), " ")),
+      budgets = Map("src0" -> 0L, "src1" -> 250L, "src2" -> 9999999L))
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("src0"))                   // zero budget -> nothing
+    assert(bySrc("src2") === 50)                      // ample budget -> everything
+    // 250/500 tokens -> ~half the docs; hash gate is not exact, allow slack
+    assert(bySrc("src1") > 10 && bySrc("src1") < 40)
+    // determinism: same inputs -> same rows
+    val again = Corpus.mixByTokenBudget(df, "cast(doc_id AS string)", "source",
+      org.apache.spark.sql.functions.size(split(col("text"), " ")),
+      budgets = Map("src0" -> 0L, "src1" -> 250L, "src2" -> 9999999L))
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(out.toSet === again.toSet)
+  }
+
   test("chunk: short doc passes through whole, long doc windows with overlap") {
     import spark.implicits._
     val df = Seq(
