@@ -225,6 +225,73 @@ object Dedup {
     verifiedJaccardFromSets(pruned, sets, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL near-dup check: a new batch against a corpus whose shingle
+    * sets and signatures were persisted by a previous run (the reference's
+    * cache/incremental pattern applied to the dedup pillar). Only the NEW
+    * documents are shingled and signed; the existing corpus contributes its
+    * stored index rows, never its text. The band bucket join puts new-doc
+    * rows on the LEFT and the whole index on the RIGHT, so candidates only
+    * form in buckets a new document touches — cost scales with the BATCH
+    * (× bucket density), not with corpus², which is the entire point of
+    * keeping the index: a daily crawl increment dedups in minutes against a
+    * 100 TB corpus that is never re-read.
+    *
+    * Emits exactly the pairs with at least one new side (new-new pairs
+    * once, normalized a < b) — equal to running the full cascade on the
+    * whole corpus and keeping pairs touching the batch, which is how the
+    * oracle replays it. Returns (nearDups, newSets, newSig); callers
+    * persist `existing ∪ new` as the next run's index ([[graft.engine.Catalog]]
+    * cache snapshots in the DAG formulation, q_dedup_incremental).
+    */
+  def incrementalNearDups(newDocs: DataFrame, textCol: String, idCol: String,
+                          existingSets: DataFrame, existingSig: DataFrame,
+                          k: Int = 5, numHashes: Int = 8, bands: Int = 4,
+                          threshold: Double = 0.9, minEstMatches: Int = -1,
+                          maxBucketSize: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+    val minM = if (minEstMatches >= 0) minEstMatches
+               else math.ceil((threshold - 0.15) * numHashes).toInt
+    val rowsPerBand = numHashes / bands
+    val newSets = shingleSets(newDocs, textCol, idCol, k).localCheckpoint(true)
+    val newSig = minhashSignatures(newSets, idCol, numHashes).localCheckpoint(true)
+    val allSig = existingSig.unionByName(newSig)
+
+    def bandTable(sig: DataFrame): DataFrame = {
+      val bandStructs = (0 until bands).map { b =>
+        val bv = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+        struct(lit(b).as("band"), bv.as("bv"))
+      }
+      sig.select(col(idCol),
+        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"),
+        explode(array(bandStructs: _*)).as("x"))
+        .select(col(idCol), col("sig"), col("x.band").as("band"), col("x.bv").as("bv"))
+    }
+
+    val all = bandTable(allSig)
+    val right =
+      if (maxBucketSize <= 0) all
+      else {
+        val ok = all.groupBy("band", "bv").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize).drop("__n")
+        all.join(ok, Seq("band", "bv"), "left_semi")
+      }
+    val l = bandTable(newSig)
+      .select(col("band"), col("bv"), col(idCol).as("a"), col("sig").as("sa"))
+    val r = right.select(col("band"), col("bv"), col(idCol).as("b"), col("sig").as("sb"))
+    val matches = expr("aggregate(zip_with(sa, sb, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)")
+    // a new-new pair meets twice (each side once as the left row) — the
+    // least/greatest normalization + distinct collapses it; new-old pairs
+    // meet only through the new side
+    val pruned = l.join(r, Seq("band", "bv"))
+      .filter(col("a") =!= col("b") && matches >= lit(minM))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val allSets = existingSets.unionByName(newSets)
+    val nearDups = verifiedJaccardFromSets(pruned, allSets, idCol)
+      .filter(col("jaccard") >= threshold)
+    (nearDups, newSets, newSig)
+  }
+
   /** Span-level exact dedup (the C4/RefinedWeb-style pass: drop sentence
     * spans repeated across the corpus, independent of whole-document dedup).
     * Documents explode into '. '-delimited spans; spans shorter than

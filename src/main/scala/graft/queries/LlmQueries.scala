@@ -108,6 +108,27 @@ object LlmQueries {
         .select(col("messy_id").as("doc_id"), col("cluster_id").as("canonical_id"))
     }),
 
+    // INCREMENTAL near-dup: the previous run's shingle sets + signatures are
+    // PERSISTED through the catalog (write + read-back, the stored-index
+    // contract), then a new batch (doc_id % 4 == 0) is checked against them —
+    // the reference's cache/incremental pattern applied to the dedup pillar.
+    // Equals the full cascade filtered to pairs touching the batch.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 4 =!= 0)
+      val newBatch = docs.filter(col("doc_id") % 4 === 0)
+      val work = java.nio.file.Files.createTempDirectory("graft_inc_dedup")
+      graft.TempCleanup.deleteOnExit(work)
+      val cat = new graft.engine.Catalog(s, work.toString)
+      cat.write(Dedup.shingleSets(existing, "text", "doc_id", k = 5), "idx_sets")
+      cat.write(Dedup.minhashSignatures(cat.read("idx_sets"), "doc_id", numHashes = 8), "idx_sig")
+      val (pairs, _, _) = Dedup.incrementalNearDups(
+        newBatch, "text", "doc_id",
+        existingSets = cat.read("idx_sets"), existingSig = cat.read("idx_sig"),
+        k = 5, numHashes = 8, bands = 4, threshold = 0.9)
+      pairs
+    }),
+
     // 16-bit SimHash fingerprints (majority vote of token-hash bits)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")),
@@ -314,6 +335,31 @@ object LlmQueries {
          |    CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
          |  FROM inter i JOIN sets na ON i.a = na.doc_id JOIN sets nb ON i.b = nb.doc_id) j
          |WHERE jaccard >= 0.9""".stripMargin
+    },
+
+    // the full cascade restricted to pairs with at least one batch-side doc —
+    // what the incremental index path must reproduce exactly
+    "q_dedup_incremental" -> {
+      val estSum = (0 to 7).map(j => s"CAST(sa.h$j = sb.h$j AS INT)").mkString(" + ")
+      s"""WITH shingles AS ($sqlShingles5),
+         |sig AS ($sqlSig8),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |pruned AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+         |  WHERE $estSum >= 6),
+         |sets AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS i
+         |  FROM pruned c JOIN shingles sa ON c.a = sa.doc_id
+         |  JOIN shingles sb ON c.b = sb.doc_id AND sa.sh = sb.sh
+         |  GROUP BY c.a, c.b)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT i.a, i.b,
+         |    CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+         |  FROM inter i JOIN sets na ON i.a = na.doc_id JOIN sets nb ON i.b = nb.doc_id) j
+         |WHERE jaccard >= 0.9 AND (a % 4 = 0 OR b % 4 = 0)""".stripMargin
     },
 
     "q_dedup_clusters" -> {

@@ -62,6 +62,36 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup equals the full cascade restricted to batch pairs") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => f"tok$i%02d")
+    // clone clusters engineered to span the batch boundary: ids 0..23,
+    // batch = ids % 4 == 0, so some clone pairs are new-old, some new-new
+    // (cluster of 4: 4c..4c+3 -> 4c is new, rest old), none old-only missed
+    val texts = (0 until 6).flatMap { c =>
+      val base = Vector.fill(30)(vocab(rnd.nextInt(vocab.size)))
+      (0 until 4).map(m => (if (m == 0) base else base.updated(5 + m, s"zz$c$m")).mkString(" "))
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 4 =!= 0)
+    val newBatch = docs.filter(col("doc_id") % 4 === 0)
+    val idxSets = Dedup.shingleSets(existing, "text", "doc_id", 5)
+    val idxSig = Dedup.minhashSignatures(idxSets, "doc_id", 8)
+    val (inc, newSets, newSig) = Dedup.incrementalNearDups(
+      newBatch, "text", "doc_id", idxSets, idxSig,
+      k = 5, numHashes = 8, bands = 4, threshold = 0.6)
+    val full = Dedup.minhashNearDups(docs, "text", "doc_id",
+      k = 5, numHashes = 8, bands = 4, threshold = 0.6)
+      .filter(col("a") % 4 === 0 || col("b") % 4 === 0)
+    assert(TestSpark.rows(inc.select("a", "b", "jaccard"))
+      === TestSpark.rows(full.select("a", "b", "jaccard")))
+    assert(inc.count() > 0, "fixture produced no batch-side near-dup pairs")
+    // the returned index increments cover exactly the batch
+    assert(newSets.select("doc_id").as[Long].collect().toSet
+      === (0 until 24 by 4).map(_.toLong).toSet)
+    assert(newSig.columns.toSeq === idxSig.columns.toSeq)
+  }
+
   test("verified jaccard is exact set arithmetic") {
     val sh = Dedup.shingles(corpus, "text", "doc_id", 5)
     val cand = Seq((1L, 4L)).toDF("a", "b")
