@@ -42,6 +42,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvMinHashes(children(0),
           children(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
       }))
+    // Spark's own Bloom-filter sketch pair, internal to its runtime-filter
+    // optimization, surfaced as engine functions so the SAME mechanism can
+    // gate explicit semi/anti-join patterns (see
+    // TextAnalysis.contaminationFlagsBloom): bloom_agg builds the filter
+    // binary over xxhash64(value) longs, bloom_contains probes it.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        null, "bloom_agg",
+        "_FUNC_(v, n) - Bloom filter binary over long values v, sized for ~n items.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bloom_agg takes exactly 2 arguments")
+        require(children(1).foldable, "bloom_agg expected-items must be a literal")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null, "bloom_contains",
+        "_FUNC_(bloom, v) - true if long v might be in the Bloom filter binary (no false negatives).", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bloom_contains takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("freq_topk"),
       new ExpressionInfo(classOf[FreqSketch].getName, null, "freq_topk",

@@ -222,6 +222,16 @@ object LlmQueries {
         "text", "doc_id", n = 3, minHits = 3)
     }),
 
+    // same decontamination output through the Bloom gate: the benchmark gram
+    // set compiled to one filter binary, the training gram stream narrowed by
+    // bloom_contains BEFORE the exact confirming join (same oracle SQL)
+    "q_decontam_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminationFlagsBloom(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "text", "doc_id", n = 3, minHits = 3)
+    }),
+
     // C4-style scrubbing: URL -> email -> long-digit-run redaction
     "q_text_scrub" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -568,6 +578,20 @@ object LlmQueries {
     },
 
     "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tw FROM documents),
+        |dg AS (SELECT DISTINCT doc_id, array_to_string(tw[i:i+2], ' ') AS g
+        |       FROM t, UNNEST(generate_series(1, len(tw) - 2)) AS s(i)
+        |       WHERE doc_id >= 50),
+        |bg AS (SELECT DISTINCT array_to_string(tw[i:i+2], ' ') AS g
+        |       FROM t, UNNEST(generate_series(1, len(tw) - 2)) AS s(i)
+        |       WHERE doc_id < 50)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM dg JOIN bg USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
+
+    // bit-identical to q_decontaminate: the Bloom gate is a prefilter with
+    // no false negatives, the exact join confirms every survivor
+    "q_decontam_bloom" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tw FROM documents),
         |dg AS (SELECT DISTINCT doc_id, array_to_string(tw[i:i+2], ' ') AS g
         |       FROM t, UNNEST(generate_series(1, len(tw) - 2)) AS s(i)

@@ -241,6 +241,17 @@ class LlmSpec extends AnyFunSuite {
     assert(out === Map(2L -> 3L))
   }
 
+  test("bloom-gated contamination flags equal the ungated operator on random docs") {
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 25).map(i => f"w$i%02d")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bench = (100L until 110L).map(i => (i, doc(12))).toDF("doc_id", "text")
+    val docs = (0L until 60L).map(i => (i, doc(20))).toDF("doc_id", "text")
+    val plain = TextAnalysis.contaminationFlags(docs, bench, "text", "doc_id", n = 3, minHits = 2)
+    val bloom = TextAnalysis.contaminationFlagsBloom(docs, bench, "text", "doc_id", n = 3, minHits = 2)
+    assert(TestSpark.rows(bloom) === TestSpark.rows(plain))
+  }
+
   test("langId picks the profile with the most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),
