@@ -201,7 +201,7 @@ object TextAnalysis {
     * side — the same bounded statistics pass as IVF seeding). */
   def contaminationFlagsBloom(docs: DataFrame, bench: DataFrame, textCol: String,
                               idCol: String, n: Int, minHits: Int,
-                              expectedGrams: Long = 1L << 20): DataFrame = {
+                              expectedGrams: Long = 0L): DataFrame = {
     def gramCol =
       explode(array_distinct(expr(
         s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
@@ -210,8 +210,13 @@ object TextAnalysis {
           "ELSE array() END"))).as("g")
     val dGrams = docs.select(col(idCol), gramCol)
     val bGrams = bench.select(gramCol).distinct().localCheckpoint(true)
+    // size the filter to the actual benchmark cardinality (the count is a
+    // cheap action on the checkpointed table) — a fixed oversize would ship
+    // a megabyte literal to every task for a kilobyte-scale gram set
+    val est = if (expectedGrams > 0) expectedGrams
+              else math.max(1024L, 2L * bGrams.count())
     val bloom = bGrams
-      .agg(call_function("bloom_agg", xxhash64(col("g")), lit(expectedGrams)).as("bf"))
+      .agg(call_function("bloom_agg", xxhash64(col("g")), lit(est)).as("bf"))
       .head.getAs[Array[Byte]](0)
     val gated = dGrams.filter(call_function("bloom_contains", lit(bloom), xxhash64(col("g"))))
     graft.ops.StaticScope.materialize(docs) {
