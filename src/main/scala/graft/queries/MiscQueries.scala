@@ -216,6 +216,13 @@ object MiscQueries {
       graft.streaming.Streams.streamIntervalJoin(s, s"$dir/events.parquet",
         windowSec = 60)),
 
+    // native session_window streaming aggregation (the managed-state
+    // sessionizer, vs q_stream_sessions' arbitrary-state one): per-user
+    // sessions with start + event count, inclusive-end merge semantics
+    "q_stream_session_window" -> ((s, dir) =>
+      graft.streaming.Streams.sessionWindowCounts(s, s"$dir/events.parquet",
+        gapMinutes = 30)),
+
     // STREAMING sessionization: flatMapGroupsWithState over the event feed —
     // per-user open sessions in the state store, a session emitted only when
     // a later event closes it; the oracle is the batch window formulation
@@ -423,6 +430,23 @@ object MiscQueries {
         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |      THEN 1 ELSE 0 END AS is_new
         |  FROM events) e""".stripMargin,
+
+    // sessions via the lag formulation: break only when the gap is EXCEEDED
+    // (Spark's session_window merges at exactly-gap — spec-pinned)
+    "q_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, tsu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id, min(tsu) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
 
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -162,6 +162,50 @@ object Streams {
     }
   }
 
+  /** Native session-window aggregation consumed AS A STREAM: Spark's
+    * `session_window` merges events whose time falls before the running
+    * session end (last event + gap) — the built-in counterpart to the
+    * custom `flatMapGroupsWithState` sessionizer ([[streamSessions]]),
+    * emitting (user, session_start, n_events) per closed-over-backlog
+    * session. Boundary semantics (spec-pinned): an event EXACTLY gap after
+    * the previous one MERGES — the running session end is inclusive, the
+    * same "break only when the gap is exceeded" rule as the lag-based
+    * batch formulation and the oracle.
+    *
+    * Scale notes: state is one (start, end, agg) triple per OPEN session,
+    * merged and evicted by watermark — the managed-state path where
+    * [[streamSessions]] is the arbitrary-state path; both bounded. */
+  def sessionWindowCounts(spark: SparkSession, eventsDir: String,
+                          gapMinutes: Int): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val (base, glob) = {
+      val p = new java.io.File(eventsDir)
+      if (p.isFile) (p.getParent, p.getName) else (eventsDir, "*")
+    }
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(base)
+      .withColumn("event_ts", eventTime)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("n_events"))
+    scopedStateful(spark, base, glob) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+      out
+    }
+  }
+
   /** STREAM-STREAM interval join: click events joined to view events of the
     * same user when the click lands inside the 60s window after the view —
     * the streaming formulation of the batch range join, both sides consumed

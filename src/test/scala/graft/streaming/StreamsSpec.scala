@@ -89,6 +89,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessionsSoFar() === Seq(Sessionize.Session(7L, 0L, 5 * min, 2L)))
   }
 
+  test("session_window stream: gap merges, exact-gap boundary still merges (inclusive end)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    val min = 60L * 1000000L
+    val t0 = 86400L * 1000000L // clear of the initial watermark
+    Seq(
+      (1L, t0, 1L, "click", 0.0, "{}"),
+      (2L, t0 + 10 * min, 1L, "click", 0.0, "{}"),  // within gap: same session
+      (3L, t0 + 40 * min, 1L, "click", 0.0, "{}"),  // exactly 30min after #2: merges
+      (4L, t0 + 100 * min, 1L, "click", 0.0, "{}"), // far out: new session
+      (5L, t0, 2L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val out = Streams.sessionWindowCounts(spark, dir, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // document the boundary: event #3 at exactly gap from #2 MERGES — the
+    // session end (last event + gap) is inclusive, matching the lag-based
+    // batch formulation's "break only when gap exceeded"
+    assert(out === Set(
+      (1L, t0, 3L),
+      (1L, t0 + 100 * min, 1L),
+      (2L, t0, 1L)))
+  }
+
   test("stream-stream interval join matches at both inclusive window bounds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sjoin").toString
     val sec = 1000000L
