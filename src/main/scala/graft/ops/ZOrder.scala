@@ -51,6 +51,26 @@ object ZOrder {
       floor((c.cast("long") - lit(min)).cast("double") / lit(range) * lit(buckets.toDouble)).cast("long"))
   }
 
+  /** Equi-DEPTH scaling for skewed columns: bucket boundaries from one
+    * sample-based `approxQuantile` pass (all columns at once), bucket index
+    * = count of boundaries at or below the value. [[scaled]] gives
+    * equal-WIDTH cells — on a power-law column (view counts, node degrees,
+    * file sizes) that collapses ~all rows into cell 0 and the curve
+    * degenerates to a plain sort on the other dimension; equal-population
+    * cells keep every clustered dimension informative regardless of
+    * distribution. The per-row cost is one pass over the 2^bits−1 boundary
+    * array (a codegen'd HOF) — keep `bits` modest (default 8 = 255
+    * comparisons/row). */
+  def quantileScaled(df: DataFrame, cols: Seq[String], bits: Int,
+                     relErr: Double = 0.001): Seq[Column] = {
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bnds = df.stat.approxQuantile(cols.toArray, probs, relErr)
+    cols.zip(bnds).map { case (c, b) =>
+      size(filter(typedlit(b.toSeq), x => x <= col(c).cast("double"))).cast("long")
+    }
+  }
+
   /** Write `df` to `path` z-order-clustered on `cols`: one statistics job
     * (per-column min/max), then scale + interleave + `repartitionByRange` on
     * the z-key + an in-partition sort, so each output file covers one
@@ -73,6 +93,20 @@ object ZOrder {
       scaled(col(c), stats.getLong(2 * j), stats.getLong(2 * j + 1), bits)
     }
     df.withColumn(zc, zkey(scaledCols, bits))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[clusteredWrite]] with equi-depth ([[quantileScaled]]) cells — the
+    * variant to use when a clustered column is heavy-tailed. Same layout
+    * machinery: one stats pass, one range shuffle. */
+  def clusteredWriteEquiDepth(df: DataFrame, cols: Seq[String], path: String,
+                              numFiles: Int, bits: Int = 8): Unit = {
+    val zc = "__zorder"
+    require(!df.columns.contains(zc), s"column name '$zc' is reserved")
+    df.withColumn(zc, zkey(quantileScaled(df, cols, bits), bits))
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)
       .drop(zc)

@@ -47,6 +47,34 @@ class ZOrderSpec extends AnyFunSuite {
     assert(bs.forall(b => b >= 0 && b < 16))
   }
 
+  test("equi-depth scaling spreads a power-law column where equal-width collapses it") {
+    // power law with (almost) all-distinct values: v = 1e12 / id^2 — most
+    // mass tiny relative to the max, a long heavy tail, no large ties (a
+    // repeated value is an unsplittable atom for ANY equi-depth scheme)
+    val df = spark.range(1, 10001)
+      .selectExpr("CAST(floor(1e12 / (id * id)) AS LONG) AS v")
+    val eqWidth = df.select(ZOrder.scaled(col("v"), 0L, 1000000000000L, 8).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eqDepth = df.select(ZOrder.quantileScaled(df, Seq("v"), 8).head.as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // equal-width: nearly everything lands in the first cell
+    assert(eqWidth(0L).toDouble / 10000 > 0.95)
+    // equi-depth: no cell dominates
+    assert(eqDepth.values.max.toDouble / 10000 < 0.10)
+    // both are total maps over the same rows
+    assert(eqDepth.values.sum === 10000L)
+  }
+
+  test("equi-depth clustered write round-trips rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_ed").toString
+    graft.TempCleanup.deleteOnExit(java.nio.file.Paths.get(dir))
+    val df = spark.range(1, 4097)
+      .selectExpr("id", "CAST(floor(1e7 / id) AS LONG) AS a", "(id * 37) % 64 AS b")
+    ZOrder.clusteredWriteEquiDepth(df, Seq("a", "b"), s"$dir/z", numFiles = 4)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(graft.TestSpark.rows(back) === graft.TestSpark.rows(df))
+  }
+
   test("clustered write gives tighter per-file envelopes on BOTH dims than a linear sort") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     graft.TempCleanup.deleteOnExit(java.nio.file.Paths.get(dir))
