@@ -15,6 +15,7 @@ import graft.expr.{AffineGapSimilarity, FreqSketch, KmvMinHashes, LongDotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinPruning)
     ext.injectFunction((
       new FunctionIdentifier("affine_gap_sim"),

@@ -137,12 +137,30 @@ object ScaleJoins {
     val rangeSec = (System.nanoTime() - t1) / 1e9
     val rangeStraggler = straggler()
 
+    // the same attribution through the NATIVE active-set sort-merge
+    // operator (RangeJoinExec): identical row set required — the delta is
+    // execution shape (no interval expansion vs sweep-state merge)
+    val t2 = System.nanoTime()
+    val rangedExec = graft.plans.RangeJoinExec.pointInRange(
+      clicks,
+      views.select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_us").as("w_start"), (col("ts_us") + 60L * 1000000L).as("w_end")),
+      keys = Seq("user_id"), ptCol = "ts_us", startCol = "w_start", endCol = "w_end",
+      valCols = Seq("view_id"))
+    val rangeExecRows = rangedExec.count()
+    val rangeExecSec = (System.nanoTime() - t2) / 1e9
+    val rangeExecStraggler = straggler()
+    require(rangeExecRows == rangeRows,
+      s"native range join diverged: $rangeExecRows vs $rangeRows rows")
+
     println(s"""{"metric":"scale_joins","events":$total,"users":$nUsers,""" +
       s""""asof_sec":$asofSec,"asof_rows":$asofRows,"asof_matched":$asofMatched,""" +
       s""""asof_exec_sec":$asofExecSec,""" +
       s""""range_sec":$rangeSec,"range_rows":$rangeRows,""" +
+      s""""range_exec_sec":$rangeExecSec,""" +
       s""""topk_window_sec":$topkWindowSec,"topk_agg_sec":$topkAggSec,"topk_rows":$topkAggRows,""" +
       s""""stragglers":{"asof":$asofStraggler,"asof_exec":$asofExecStraggler,"range":$rangeStraggler,""" +
+      s""""range_exec":$rangeExecStraggler,""" +
       s""""topk_window":$topkWindowStraggler,"topk_agg":$topkAggStraggler}}""")
     spark.stop()
   }

@@ -199,6 +199,24 @@ object MiscQueries {
         .select("click_id", "view_id", "user_id", "ts_us")
     }),
 
+    // the NATIVE range-join operator (custom LogicalPlan + strategy +
+    // active-set sort-merge exec) under the same DuckDB IEJoin oracle as
+    // the bucketized q_range_join — no interval expansion, no bin tuning
+    "q_range_exec" -> ((s, dir) => {
+      val events = s.read.schema(graft.streaming.Streams.eventsSchema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", col("ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      val windows = events.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts_us").as("w_start"), (col("ts_us") + 60L * 1000000L).as("w_end"))
+      graft.plans.RangeJoinExec.pointInRange(clicks, windows,
+        keys = Seq("user_id"), ptCol = "ts_us", startCol = "w_start",
+        endCol = "w_end", valCols = Seq("view_id"))
+        .select("click_id", "view_id", "user_id", "ts_us")
+    }),
+
     // Z-order (Morton) interleave key — the clustered-write sort key as a
     // first-class expression, checkable bit-for-bit: both engines interleave
     // the low 10 bits of (l_partkey mod 1024, l_suppkey mod 1024)
@@ -484,6 +502,20 @@ object MiscQueries {
         |    + ((((l_suppkey % 1024) >> i) & 1) << (2*i + 1))
         |  )) AS BIGINT) AS zkey
         |FROM lineitem""".stripMargin,
+
+    // the native exec must reproduce the identical row set under DuckDB's
+    // independent IEJoin execution of the declarative condition
+    "q_range_exec" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |windows AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS w_start,
+        |    epoch_us(ts) + 60000000 AS w_end
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, w.view_id, c.user_id, c.ts_us
+        |FROM clicks c JOIN windows w
+        |  ON c.user_id = w.user_id AND c.ts_us BETWEEN w.w_start AND w.w_end""".stripMargin,
 
     // the STREAM-STREAM formulation must produce the identical row set as
     // the declarative batch range join over the same backlog

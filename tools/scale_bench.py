@@ -115,6 +115,9 @@ def table(merged):
         ("Range join (60s windows)", f"{j['events']:,} events",
          f"{j['range_sec']:.1f}s ({j['range_rows']:,} rows)",
          f"{j['stragglers']['range']:.2f}"),
+        ("Range join, native RangeJoinExec", "same batch",
+         f"{j.get('range_exec_sec', float('nan')):.1f}s (rows identical)",
+         f"{j['stragglers'].get('range_exec', float('nan')):.2f}"),
         ("Top-5/user: window vs top_k agg", f"{j['events']:,} events",
          f"{j.get('topk_window_sec', float('nan')):.1f}s / "
          f"{j.get('topk_agg_sec', float('nan')):.1f}s ({j.get('topk_rows', 0):,} rows)",
