@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinPruning)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinPruning)
     ext.injectFunction((
       new FunctionIdentifier("affine_gap_sim"),
       new ExpressionInfo(classOf[AffineGapSimilarity].getName, null, "affine_gap_sim",

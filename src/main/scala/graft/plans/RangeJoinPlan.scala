@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Expression, JoinedRow,
   NamedExpression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -59,6 +60,26 @@ case class RangeJoinNode(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+/** Column pruning THROUGH the custom node (same cooperation as
+  * [[AsofJoinPruning]]): a Project above a [[RangeJoinNode]] pushes a
+  * left-side Project keeping only (referenced left columns + the node's own
+  * key/point references) and drops carried right values the Project never
+  * reads. The right side is pre-pruned by the builder. */
+object RangeJoinPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, n: RangeJoinNode) =>
+      val needed = p.references ++ n.references
+      val neededLeft = n.left.output.filter(needed.contains)
+      val neededVals = n.rightVals.filter(v => p.references.contains(v.toAttribute))
+      val pruneLeft = neededLeft.length < n.left.output.length
+      val pruneVals = neededVals.length < n.rightVals.length
+      if (pruneLeft || pruneVals) {
+        val newLeft = if (pruneLeft) Project(neededLeft, n.left) else n.left
+        p.copy(child = n.copy(left = newLeft, rightVals = neededVals))
+      } else p
+  }
 }
 
 /** Planner strategy mapping [[RangeJoinNode]] to [[RangeJoinExec]].

@@ -69,6 +69,20 @@ class RangeJoinExecSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(native.count() > 1000, "fixture produced too few matches to be meaningful")
   }
 
+  test("RangeJoinPruning: a select above the node prunes unused left columns and values") {
+    val points = Seq((1L, 7L, 5L, "wide1", "wide2"))
+      .toDF("pid", "k", "pt", "w1", "w2")
+    val ranges = Seq((10L, 7L, 0L, 10L, 1.0)).toDF("rid", "k", "s", "e", "v")
+    val out = RangeJoinExec.pointInRange(points, ranges,
+      keys = Seq("k"), ptCol = "pt", startCol = "s", endCol = "e",
+      valCols = Seq("rid", "v"))
+      .select("pid", "rid")
+    val node = out.queryExecution.optimizedPlan.collect { case n: RangeJoinNode => n }.head
+    assert(node.left.output.map(_.name).toSet === Set("pid", "k", "pt"))
+    assert(node.rightVals.map(_.name) === Seq("rid"))
+    assert(out.collect().map(_.toSeq).toSeq === Seq(Seq(1L, 10L)))
+  }
+
   test("null point and null bounds match nothing") {
     val points = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
       (1L, 7L, null), (2L, 7L, 50L)).toDF("pid", "k", "pt")
