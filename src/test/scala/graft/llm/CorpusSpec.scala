@@ -88,6 +88,32 @@ class CorpusSpec extends AnyFunSuite {
     texts.sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(1) === b.take(1)) }
   }
 
+  test("chunk property: chunks tile the stream — stride starts, exact overlap, full coverage") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val (win, ov) = (8, 3)
+    val stride = win - ov
+    val docs = (1 to 25).map { d =>
+      val n = 1 + rnd.nextInt(40)
+      (d.toLong, (1 to n).map(i => s"d${d}t$i").mkString(" "))
+    }
+    val out = Corpus.chunk(docs.toDF("doc_id", "text"), "doc_id", "text", win, ov)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.split(" ").toSeq)).toMap
+    docs.foreach { case (d, text) =>
+      val toks = text.split(" ").toSeq
+      val chunks = out(d)
+      // chunk i starts exactly i*stride tokens in
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        assert(c.head === toks(i * stride), s"doc $d chunk $i start")
+        assert(c.length <= win)
+      }
+      // stitching chunks (dropping each successor's overlap) rebuilds the doc
+      val stitched = chunks.head ++ chunks.tail.flatMap(_.drop(ov))
+      assert(stitched === toks, s"doc $d coverage")
+    }
+  }
+
   test("chunk: exact multiple of stride does not emit an empty trailing chunk") {
     import spark.implicits._
     val df = Seq((1L, (1 to 7).map("t" + _).mkString(" "))).toDF("doc_id", "text")

@@ -38,6 +38,24 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z === z.sorted)
   }
 
+  test("zkey is a bijection: output bits deinterleave back to the inputs") {
+    val bits = 10
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(200)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zkey(Seq(col("a"), col("b")), bits).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var da = 0L; var db = 0L
+      for (i <- 0 until bits) {
+        da |= ((z >> (2 * i)) & 1L) << i
+        db |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert((da, db) === ((a, b)), s"z=$z did not round-trip")
+    }
+  }
+
   test("scaled maps min/max to first/last bucket and never overflows the width") {
     val df = Seq(-100L, -1L, 0L, 57L, 899L).toDF("v")
       .select(ZOrder.scaled(col("v"), -100L, 899L, 4).as("b"))
