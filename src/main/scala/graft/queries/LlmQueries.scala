@@ -108,6 +108,24 @@ object LlmQueries {
         .select(col("messy_id").as("doc_id"), col("cluster_id").as("canonical_id"))
     }),
 
+    // the production dedup policy: cluster near-dups, keep the HIGHEST-
+    // QUALITY copy per cluster (not the min id) — clusters x quality
+    // scoring x top-1-per-group composed into one mapping (doc -> keeper)
+    "q_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+        k = 5, numHashes = 8, bands = 4, threshold = 0.9)
+      val clusters = graft.er.ConnectedComponents.clusterMapping(pairs.select("a", "b"))
+        .select(col("messy_id").as("doc_id"), col("cluster_id"))
+      val scored = clusters.join(
+        docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q")), "doc_id")
+      val w = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id").asc)
+      val keep = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("cluster_id"), col("doc_id").as("keep_id"))
+      scored.join(keep, "cluster_id").select("doc_id", "keep_id")
+    }),
+
     // INCREMENTAL near-dup: the previous run's shingle sets + signatures are
     // PERSISTED through the catalog (write + read-back, the stored-index
     // contract), then a new batch (doc_id % 4 == 0) is checked against them —
@@ -400,6 +418,52 @@ object LlmQueries {
          |  UNION
          |  SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON w.id = e.a)
          |SELECT id AS doc_id, min(comp) AS canonical_id FROM walk GROUP BY id""".stripMargin
+    },
+
+    // clusters via the same recursive CTE, then highest quality per cluster
+    // (tie: min doc_id) — the same float quality formula as q_text_quality,
+    // bit-identical across engines
+    "q_dedup_keep_best" -> {
+      val estSum = (0 to 7).map(j => s"CAST(sa.h$j = sb.h$j AS INT)").mkString(" + ")
+      s"""WITH RECURSIVE shingles AS ($sqlShingles5),
+         |sig AS ($sqlSig8),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |pruned AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+         |  WHERE $estSum >= 6),
+         |sets AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS i
+         |  FROM pruned c JOIN shingles sa ON c.a = sa.doc_id
+         |  JOIN shingles sb ON c.b = sb.doc_id AND sa.sh = sb.sh
+         |  GROUP BY c.a, c.b),
+         |nd AS (
+         |  SELECT a, b FROM (
+         |    SELECT i.a, i.b,
+         |      CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+         |    FROM inter i JOIN sets na ON i.a = na.doc_id JOIN sets nb ON i.b = nb.doc_id) j
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT a, b FROM nd UNION SELECT b AS a, a AS b FROM nd),
+         |walk AS (
+         |  SELECT DISTINCT a AS id, a AS comp FROM edges
+         |  UNION
+         |  SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON w.id = e.a),
+         |clusters AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
+         |quality AS (
+         |  SELECT doc_id,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |    + least((CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 5.0, 1.0) * 0.25
+         |    + least(CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS DOUBLE)
+         |            / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0) * 0.25 AS q
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, q.q,
+         |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.q DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN quality q ON c.doc_id = q.doc_id)
+         |SELECT r.doc_id, k.doc_id AS keep_id
+         |FROM ranked r JOIN ranked k ON r.cluster_id = k.cluster_id AND k.rn = 1""".stripMargin
     },
 
     "q_dedup_spans" ->
