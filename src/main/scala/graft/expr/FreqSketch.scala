@@ -57,11 +57,21 @@ case class FreqSketch(
     containsNull = false)
   override def prettyName: String = "freq_topk"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(child.dataType))
+  /** Atomic types only: the buffer is a java.util.HashMap keyed on raw
+    * catalyst values, and only atomic values (Long, UTF8String, ...) have
+    * value-equality across the representations that reach the map (eval
+    * copies on the scan side, UnsafeRow field slices on the deserialize
+    * side). Struct/array catalyst values compare by identity, so admitting
+    * them would silently split equal keys into separate counters. */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType | _: MapType | _: StructType | NullType =>
+      TypeCheckResult.TypeCheckFailure(
+        s"freq_topk requires an atomic (non-nested) type, got ${child.dataType}")
+    case dt if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt) =>
       TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"freq_topk requires an orderable type, got ${child.dataType}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"freq_topk requires an orderable atomic type, got $other")
+  }
 
   @transient private lazy val ord: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType).asInstanceOf[Ordering[Any]]

@@ -46,7 +46,9 @@ object ZOrder {
     * along the curve — locality, not correctness. */
   def scaled(c: Column, min: Long, max: Long, bits: Int): Column = {
     val buckets = 1L << bits
-    val range = math.max(1.0, (max - min).toDouble + 1.0)
+    // subtract in double space: (max - min) overflows a long when the two
+    // ends straddle more than half the long range (e.g. min = Long.MinValue)
+    val range = math.max(1.0, max.toDouble - min.toDouble + 1.0)
     least(lit(buckets - 1),
       floor((c.cast("long") - lit(min)).cast("double") / lit(range) * lit(buckets.toDouble)).cast("long"))
   }
@@ -89,14 +91,21 @@ object ZOrder {
       cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))).head,
       cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))).tail: _*
     ).collect()(0)
-    val scaledCols = cols.zipWithIndex.map { case (c, j) =>
-      scaled(col(c), stats.getLong(2 * j), stats.getLong(2 * j + 1), bits)
+    // min/max are null when df is empty or a clustered column is all-NULL —
+    // there is no meaningful curve to lay out, but the write itself is still
+    // well-defined: fall back to a plain (unclustered) write
+    if ((0 until 2 * cols.length).exists(stats.isNullAt)) {
+      df.write.mode("overwrite").parquet(path)
+    } else {
+      val scaledCols = cols.zipWithIndex.map { case (c, j) =>
+        scaled(col(c), stats.getLong(2 * j), stats.getLong(2 * j + 1), bits)
+      }
+      df.withColumn(zc, zkey(scaledCols, bits))
+        .repartitionByRange(numFiles, col(zc))
+        .sortWithinPartitions(zc)
+        .drop(zc)
+        .write.mode("overwrite").parquet(path)
     }
-    df.withColumn(zc, zkey(scaledCols, bits))
-      .repartitionByRange(numFiles, col(zc))
-      .sortWithinPartitions(zc)
-      .drop(zc)
-      .write.mode("overwrite").parquet(path)
   }
 
   /** [[clusteredWrite]] with equi-depth ([[quantileScaled]]) cells — the

@@ -107,7 +107,9 @@ case class RangeJoinExec(
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "maxActive" -> SQLMetrics.createMetric(sparkContext, "max concurrently open intervals"))
+    // SQLMetrics merge per-task values by SUMMING on the driver, so this
+    // reads as the sum of per-task peaks, not a global max — named accordingly
+    "maxActive" -> SQLMetrics.createMetric(sparkContext, "sum of per-task peak open intervals"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -226,11 +228,28 @@ object RangeJoinExec {
       plan.output.find(_.name == name).getOrElse(
         sys.error(s"column $name not found among ${plan.output.map(_.name).mkString(", ")}"))
 
+    val lKeys = keys.map(attr(lPlan, _))
+    val rKeys = keys.map(attr(rPlan, _))
+    val ptAttr = attr(lPlan, ptCol)
+    val startAttr = attr(rPlan, startCol)
+    val endAttr = attr(rPlan, endCol)
+    // the exec's interpreted orderings are built from the LEFT side's types
+    // and applied to both sides' values — a silent width mismatch (INT keys
+    // vs LONG keys, DATE point vs TIMESTAMP bounds) would read fields at the
+    // wrong offset and produce wrong rows, so mismatches must fail here
+    lKeys.zip(rKeys).zip(keys).foreach { case ((l, r), name) =>
+      require(l.dataType == r.dataType,
+        s"range exec key '$name' type mismatch: left ${l.dataType} vs right ${r.dataType}")
+    }
+    require(startAttr.dataType == ptAttr.dataType && endAttr.dataType == ptAttr.dataType,
+      s"range exec bound types must match the point: $ptCol is ${ptAttr.dataType}, " +
+        s"$startCol is ${startAttr.dataType}, $endCol is ${endAttr.dataType}")
+
     val node = RangeJoinNode(
       left = lPlan, right = rPlan,
-      leftKeys = keys.map(attr(lPlan, _)), rightKeys = keys.map(attr(rPlan, _)),
-      pt = attr(lPlan, ptCol),
-      start = attr(rPlan, startCol), end = attr(rPlan, endCol),
+      leftKeys = lKeys, rightKeys = rKeys,
+      pt = ptAttr,
+      start = startAttr, end = endAttr,
       rightVals = valCols.map(attr(rPlan, _)))
     GraftSql.ofRows(points.sparkSession, node)
   }
