@@ -6,21 +6,33 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Off-toy scale proof for the ANN layer (round-6 verdict stretch item):
-  * synthesize `SCALE_COPIES`× the sf0.1 embeddings table with deterministic
-  * per-copy perturbations, then measure on the same query batch:
+/** Off-toy scale proof for the ANN layer: synthesize `SCALE_COPIES`× the
+  * sf0.1 embeddings table with deterministic per-copy perturbations, then
+  * measure the production IVF lifecycle against brute force on the same
+  * query batch:
   *
   *  - `train_sec`  — one Lloyd round of [[graft.llm.Similarity.kmeansSeeds]]
-  *    (the index-build cost a production deployment amortizes);
-  *  - `ivf1_sec` / `ivf8_sec` — trained IVF search at nProbe=1/8 using the
-  *    SAME precomputed seed table (per-batch marginal cost; the nProbe gap
-  *    isolates probe-volume scaling);
+  *    over STRIDED seeds (one per id-stride; consecutive vec_ids here are
+  *    perturbed copies of the same base vector, so the `id < nLists`
+  *    convention would seed all 64 lists inside one neighborhood — the r9
+  *    root cause of the 2.95 nprobe=1 straggler: hot lists);
+  *  - `build_sec`  — [[graft.llm.Similarity.assignToLists]] over the corpus,
+  *    materialized: the once-per-corpus-snapshot index build a deployment
+  *    amortizes across every query batch;
+  *  - `ivf1_sec` / `ivf8_sec` — per-batch marginal search cost at nProbe=1/8
+  *    using the SAME prebuilt seed + list tables;
   *  - `brute_sec`  — exact brute-force top-k on the identical batch;
   *  - `recall8`    — |IVF∩exact| / |exact| at nProbe=8;
+  *  - `list_skew`  — max/mean inverted-list size (balance proof);
   *  - per-phase straggler ratio (max/median task time within a stage, worst
-  *    stage with ≥ 8 non-trivial tasks) — list skew would show here.
+  *    stage with ≥ 8 non-trivial tasks) and per-phase 1-min loadavg — a
+  *    co-tenant burst is self-identifying in the artifact.
   *
-  * Run with e.g. SCALE_COPIES=100 → 500k vectors (64-dim).
+  * Every timed phase waits (bounded) for ambient load to drain first — the
+  * same /proc/loadavg gate the Bench main applies per sample (round-9
+  * verdict: the ann record was taken at load 7.2→20.5 and unusable).
+  *
+  * Run with e.g. SCALE_COPIES=100 → 200k vectors (64-dim).
   */
 object ScaleAnn {
 
@@ -30,14 +42,38 @@ object ScaleAnn {
     val nLists = sys.env.getOrElse("SCALE_NLISTS", "64").toInt
     val nQueries = sys.env.getOrElse("SCALE_NQUERIES", "200").toInt
     val k = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    // same discipline as Bench.gateOnLoad: bounded wait for the 1-min load
+    // to drop below ~0.5× worker threads before starting each timed phase
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
+      .getOrElse(math.max(2.0, 0.5 * cpus.toDouble))
+    var waitBudgetMs = sys.env.get("SPARK_GRAFT_LOAD_WAIT_BUDGET_MS").map(_.toLong)
+      .getOrElse(600000L)
+    def gateOnLoad(tag: String): Double = {
+      var l = loadavg()
+      var tries = 0
+      while (l > loadGate && tries < 10 && waitBudgetMs > 0) {
+        val napMs = math.min(30000L, waitBudgetMs)
+        System.err.println(f"[scale_ann][gate] $tag load=$l%.2f > $loadGate%.1f, waiting ${napMs / 1000}s")
+        Thread.sleep(napMs)
+        waitBudgetMs -= napMs
+        tries += 1
+        l = loadavg()
+      }
+      l
+    }
 
     val durations = new ConcurrentLinkedQueue[(Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -60,8 +96,8 @@ object ScaleAnn {
     // keeps the dividend's sign, so residues span [-100, 100]) — materialized
     // and re-read like a real input table. The spread is part of the measured
     // corpus geometry: every published ScaleAnn number was taken at ±0.1, and
-    // tightening it (e.g. a non-negative pmod) degenerates the seed set (all
-    // 64 seeds are copies of vector 0) enough to distort search cost 5-7×.
+    // tightening it (e.g. a non-negative pmod) degenerates the seed set
+    // enough to distort search cost 5-7×.
     val work = java.nio.file.Files.createTempDirectory("graft_scale_ann")
     TempCleanup.deleteOnExit(work)
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -78,29 +114,58 @@ object ScaleAnn {
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
     val corpus = spark.read.parquet(s"$work/embeddings.parquet")
     val nVecs = corpus.count()
-    val queries = corpus.filter(col("vec_id") < nQueries)
+    // query batch = the ORIGINAL copy of `nQueries` distinct base vectors
+    // (vec_id = base*copies + copy ⇒ copy 0 of base < nQueries). The naive
+    // `vec_id < nQueries` is copies of base vectors 0..1 — 200 queries that
+    // all probe the same 2 lists, which measures one hot partition, not the
+    // search path (the residual r9 ivf1 straggler after list balancing).
+    val queries = corpus.filter(
+      col("vec_id") % copies === 0 && col("vec_id") < nQueries.toLong * copies)
     durations.clear()
 
     import graft.llm.Similarity
 
+    // strided seed predicate: one seed per (nVecs / nLists)-id stride, so
+    // seeds are spread across base vectors instead of nLists perturbations
+    // of base vector 0 (vec_id = base*copies + copy ⇒ id < 64 is all base 0)
+    val stride = math.max(1L, nVecs / nLists)
+    val seedWhere = col("vec_id") % stride === 0 && col("vec_id") < stride * nLists
+
+    val loadTrain = gateOnLoad("train")
     val t0 = System.nanoTime()
-    val seeds = Similarity.kmeansSeeds(corpus, "vec_id", "embedding", nLists, iters = 1)
+    val seeds = Similarity.kmeansSeeds(corpus, "vec_id", "embedding", nLists,
+        iters = 1, seedWhere = Some(seedWhere))
       .localCheckpoint(true)
     seeds.count()
     val trainSec = (System.nanoTime() - t0) / 1e9
     val trainStraggler = straggler()
 
-    def searchIvf(nProbe: Int): (Double, Double, org.apache.spark.sql.DataFrame) = {
+    // index build: one narrow corpus pass, materialized like any index artifact
+    val loadBuild = gateOnLoad("build")
+    val tb = System.nanoTime()
+    Similarity.assignToLists(corpus, "vec_id", "embedding", seeds, "match_id")
+      .write.mode("overwrite").parquet(s"$work/lists.parquet")
+    val lists = spark.read.parquet(s"$work/lists.parquet")
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    val buildStraggler = straggler()
+    val sizes = lists.groupBy("list_id").count().select("count").collect().map(_.getLong(0))
+    val listSkew = if (sizes.isEmpty) -1.0
+      else sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+
+    def searchIvf(nProbe: Int): (Double, Double, Double, org.apache.spark.sql.DataFrame) = {
+      val load = gateOnLoad(s"ivf$nProbe")
       val t = System.nanoTime()
       val out = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
-        nLists = nLists, k = k, nProbe = nProbe, seedTable = Some(seeds))
+        nLists = nLists, k = k, nProbe = nProbe,
+        seedTable = Some(seeds), listTable = Some(lists))
         .localCheckpoint(true)
       out.count()
-      ((System.nanoTime() - t) / 1e9, straggler(), out)
+      ((System.nanoTime() - t) / 1e9, straggler(), load, out)
     }
-    val (ivf1Sec, ivf1Straggler, _) = searchIvf(1)
-    val (ivf8Sec, ivf8Straggler, ivf8) = searchIvf(8)
+    val (ivf1Sec, ivf1Straggler, loadIvf1, _) = searchIvf(1)
+    val (ivf8Sec, ivf8Straggler, loadIvf8, ivf8) = searchIvf(8)
 
+    val loadBrute = gateOnLoad("brute")
     val t1 = System.nanoTime()
     val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = k)
       .localCheckpoint(true)
@@ -113,10 +178,13 @@ object ScaleAnn {
     val recall8 = hits.toDouble / nExact
 
     println(s"""{"metric":"scale_ann","copies":$copies,"vectors":$nVecs,"n_lists":$nLists,""" +
-      s""""queries":$nQueries,"k":$k,"train_sec":$trainSec,"ivf1_sec":$ivf1Sec,""" +
-      s""""ivf8_sec":$ivf8Sec,"brute_sec":$bruteSec,"recall8":$recall8,""" +
-      s""""stragglers":{"train":$trainStraggler,"ivf1":$ivf1Straggler,""" +
-      s""""ivf8":$ivf8Straggler,"brute":$bruteStraggler}}""")
+      s""""queries":$nQueries,"k":$k,"train_sec":$trainSec,"build_sec":$buildSec,""" +
+      s""""ivf1_sec":$ivf1Sec,"ivf8_sec":$ivf8Sec,"brute_sec":$bruteSec,""" +
+      s""""recall8":$recall8,"list_skew":$listSkew,""" +
+      s""""stragglers":{"train":$trainStraggler,"build":$buildStraggler,"ivf1":$ivf1Straggler,""" +
+      s""""ivf8":$ivf8Straggler,"brute":$bruteStraggler},""" +
+      s""""loads":{"train":$loadTrain,"build":$loadBuild,"ivf1":$loadIvf1,""" +
+      s""""ivf8":$loadIvf8,"brute":$loadBrute}}""")
     spark.stop()
   }
 }

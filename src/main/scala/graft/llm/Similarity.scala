@@ -138,14 +138,28 @@ object Similarity {
     * exchanges + an eager checkpoint per round on the same arithmetic
     * (measured 2.7s vs oracle 0.6s at sf0.1; one-pass rounds halve it). */
   def kmeansSeeds(corpus: DataFrame, idCol: String, embCol: String,
-                  nLists: Int, iters: Int): DataFrame = {
+                  nLists: Int, iters: Int): DataFrame =
+    kmeansSeeds(corpus, idCol, embCol, nLists, iters, None)
+
+  /** [[kmeansSeeds]] with an explicit seed-selection predicate. The default
+    * (`idCol < nLists`) is the oracle-verifiable convention, but it is only
+    * a good initialization when low ids are spread across the corpus — on a
+    * corpus where consecutive ids are near-duplicates (replicated or crawled
+    * data) it seeds every list inside one tight neighborhood and Lloyd
+    * rounds cannot recover balance. Pass a spread predicate (e.g. a stride:
+    * `id % (n / nLists) == 0`) for such corpora; list ids are the selected
+    * vectors' ids either way. */
+  def kmeansSeeds(corpus: DataFrame, idCol: String, embCol: String,
+                  nLists: Int, iters: Int, seedWhere: Option[Column]): DataFrame = {
     val spark = corpus.sparkSession
     val idType = corpus.schema(idCol).dataType
     // seed init: nLists rows — driver state from here on
-    var seeds: Array[(Long, Array[Long])] = corpus.filter(col(idCol) < nLists)
+    var seeds: Array[(Long, Array[Long])] = corpus
+      .filter(seedWhere.getOrElse(col(idCol) < nLists))
       .select(col(idCol).cast("long"), quantize(col(embCol)))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    require(seeds.nonEmpty, s"no seed vectors with $idCol < $nLists")
+      .collect().sortBy(_.getLong(0)).take(nLists)
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(seeds.nonEmpty, s"kmeansSeeds: seed predicate selected no vectors")
 
     val emb = corpus.select(quantize(col(embCol)).as("v"))
       .withColumn("vn", qdot(col("v"), col("v")))
@@ -183,6 +197,39 @@ object Similarity {
       .select(col("list_id").cast(idType).as("list_id"), col("sv"))
   }
 
+  /** Assign every vector to its ONE nearest seed list (argmax seed-cosine,
+    * ties → smallest list id) — the IVF index-build step. Zero shuffle: the
+    * seed table is bounded driver state (nLists rows, same contract as MLlib
+    * k-means centers and [[kmeansSeeds]]'s own assignment), so the argmax is
+    * a literal `array_max` over per-seed (cosine, -list_id) structs — a
+    * narrow map over the corpus, no join, no window. Arithmetic is identical
+    * to the former join+window formulation (same integer dots, same IEEE
+    * doubles, same tie order), so results are bit-for-bit unchanged.
+    *
+    * Output: (outId, list_id: long, v, vn) — materialize this once per
+    * corpus snapshot and hand it to [[ivfTopK]] as `listTable` to amortize
+    * the index build across query batches (the production IVF lifecycle).
+    * At 100 TB this is the only corpus-wide pass; per-batch search cost is
+    * then queries × (corpus/nLists) × nProbe. */
+  def assignToLists(df: DataFrame, idCol: String, embCol: String,
+                    seeds: DataFrame, outId: String): DataFrame = {
+    val seedArr = seeds.select(col("list_id").cast("long"), col("sv"))
+      .collect().map { r =>
+        val sv = r.getSeq[Long](1).toArray
+        (r.getLong(0), sv, sv.foldLeft(0L)((a, x) => a + x * x))
+      }.sortBy(_._1)
+    require(seedArr.nonEmpty, "assignToLists needs a non-empty seed table")
+    val scored = seedArr.map { case (lid, sv, sn) =>
+      struct(
+        normedCos(qdot(col("v"), typedLit(sv.toSeq)), col("vn"), lit(sn)).as("c"),
+        lit(-lid).as("nl"))
+    }
+    df.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
+      .withColumn("vn", qdot(col("v"), col("v")))
+      .withColumn("list_id", -array_max(array(scored.toIndexedSeq: _*)).getField("nl"))
+      .select(col(outId), col("list_id"), col("v"), col("vn"))
+  }
+
   /** IVF-style ANN: a coarse quantizer (the first `nLists` vectors as
     * deterministic seed centroids, Lloyd-refined for `trainIters` rounds via
     * [[kmeansSeeds]] when `trainIters` > 0) partitions the corpus into
@@ -193,36 +240,48 @@ object Similarity {
     * knob (probe-1 = fastest/lowest recall, nProbe = nLists degenerates to
     * exact). The dataflow (assign via argmax seed-cosine → equi-join on list
     * id → local top-k) is identical trained or not, and every step is
-    * integer-exact, so the whole index build + search is oracle-verifiable. */
+    * integer-exact, so the whole index build + search is oracle-verifiable.
+    *
+    * `seedTable` (schema (list_id, sv: array<bigint>)) and `listTable` (a
+    * materialized [[assignToLists]] result) let a caller train and build
+    * ONCE and amortize both across query batches; without them each call
+    * re-derives seeds and re-assigns the corpus (one narrow corpus pass). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, nLists: Int, k: Int, nProbe: Int = 1,
-              trainIters: Int = 0, seedTable: Option[DataFrame] = None): DataFrame = {
-    // seedTable lets a caller train once (kmeansSeeds, persisted like any
-    // index artifact) and amortize the quantizer across query batches — the
-    // production IVF lifecycle. Expected schema: (list_id, sv: array<bigint>).
+              trainIters: Int = 0, seedTable: Option[DataFrame] = None,
+              listTable: Option[DataFrame] = None): DataFrame = {
     val seeds = seedTable.getOrElse {
       if (trainIters > 0) kmeansSeeds(corpus, idCol, embCol, nLists, trainIters)
       else corpus.filter(col(idCol) < nLists)
         .select(col(idCol).as("list_id"), quantize(col(embCol)).as("sv"))
-    }.withColumn("sn", qdot(col("sv"), col("sv")))
-
-    // assign a vector set to its `p` nearest seeds (ties -> smallest list id)
-    def assign(df: DataFrame, outId: String, p: Int): DataFrame = {
-      // bounded cross: every vector scores all nLists seeds (what a coarse
-      // quantizer is); seeds are broadcast, n × nLists rows total
-      val scored = df.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
-        .withColumn("vn", qdot(col("v"), col("v")))
-        .crossJoin(broadcast(seeds))
-        .select(col(outId), col("v"), col("vn"), col("list_id"),
-          normedCos(qdot(col("v"), col("sv")), col("vn"), col("sn")).as("c"))
-      graft.ops.DistinctOn.topK(
-        scored, Seq(col(outId)), Seq(col("c").desc, col("list_id").asc), p)
-        .select(col(outId), col("list_id"), col("v"), col("vn"))
     }
 
-    val lists = assign(corpus, "match_id", 1)
-    val probes = assign(queries, "query_id", nProbe)
-    val scored = probes.withColumnRenamed("v", "qv").withColumnRenamed("vn", "qn")
+    // query-side probe assignment: top-nProbe lists per query. The query set
+    // is small by contract, so the seed cross + window is cheap; nProbe == 1
+    // takes the same narrow argmax as the corpus side.
+    def probeAssign(df: DataFrame, outId: String, p: Int): DataFrame =
+      if (p == 1) assignToLists(df, idCol, embCol, seeds, outId)
+      else {
+        val withNorm = seeds.withColumn("sn", qdot(col("sv"), col("sv")))
+        val scored = df.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
+          .withColumn("vn", qdot(col("v"), col("v")))
+          .crossJoin(broadcast(withNorm))
+          .select(col(outId), col("v"), col("vn"), col("list_id").cast("long").as("list_id"),
+            normedCos(qdot(col("v"), col("sv")), col("vn"), col("sn")).as("c"))
+        graft.ops.DistinctOn.topK(
+          scored, Seq(col(outId)), Seq(col("c").desc, col("list_id").asc), p)
+          .select(col(outId), col("list_id"), col("v"), col("vn"))
+      }
+
+    val lists = listTable.getOrElse(assignToLists(corpus, idCol, embCol, seeds, "match_id"))
+    val probes = probeAssign(queries, "query_id", nProbe)
+    // broadcast the probe side: the query batch is small by contract, and a
+    // shuffle join would repartition the corpus by list_id — nLists distinct
+    // keys over more partitions is skewed by construction (the residual
+    // nProbe=1 straggler). Broadcasting keeps the corpus in its natural even
+    // partitioning; scoring work per task is then proportional to rows
+    // scanned, regardless of which lists are probed.
+    val scored = broadcast(probes.withColumnRenamed("v", "qv").withColumnRenamed("vn", "qn"))
       .join(lists.withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn"), Seq("list_id"))
       .filter(col("query_id") =!= col("match_id"))
       .select(col("query_id"), col("match_id"),
