@@ -1,30 +1,100 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads ride as opaque `binary` columns
   * with typed metadata extracted by a distributed decode pass.
   *
-  * The decode itself is STUBBED (no image/audio codecs in this environment —
-  * [[StubDecoder.decode]] is a deterministic fake); everything around it is the
-  * real 100 TB shape: a typed `Dataset[MediaRow]`, `mapPartitions` so any
-  * per-partition decoder state (codec contexts, model handles) is initialized
-  * once per task rather than once per row, and a typed `MediaMeta` output
-  * schema that downstream relational ops consume like any other table.
+  * Header DECODE is real: [[HeaderDecoder]] parses PNG IHDR, GIF logical
+  * screen, BMP info header, and JPEG SOF segments by direct byte slicing —
+  * no codec libraries, pure JVM, distributed inside `mapPartitions`. Pixel
+  * decode (which needs actual codecs, absent in this environment) remains
+  * out of scope: payloads with no recognized container magic fall back to
+  * the clearly-marked [[StubDecoder]] so the plumbing stays testable on
+  * text stand-in payloads. Everything around the decode is the real 100 TB
+  * shape: a typed `Dataset[MediaRow]`, `mapPartitions` so per-partition
+  * decoder state (codec contexts, model handles) initializes once per task
+  * rather than once per row, and a typed `MediaMeta` output schema that
+  * downstream relational ops consume like any other table.
   */
 object Multimodal {
 
   /** Input row: id + opaque payload (what an image/audio column looks like). */
   final case class MediaRow(id: Long, payload: Array[Byte])
 
-  /** Extracted metadata: byte size, content digest, checksum, decoded dims. */
+  /** Extracted metadata: byte size, content digest, checksum, container
+    * format (`png`/`gif`/`bmp`/`jpeg`/`unknown`), decoded dimensions. */
   final case class MediaMeta(id: Long, n_bytes: Int, digest: String,
-                             checksum: Long, width: Int, height: Int)
+                             checksum: Long, format: String, width: Int, height: Int)
 
-  /** The clearly-marked decode stub: a real implementation would parse the
-    * container format here. This fake derives dimensions deterministically
-    * from size/checksum so tests and oracles can verify the plumbing. */
+  /** Container-header parsing by direct byte slicing — the part of "decode"
+    * that needs no codec, only the published file-format layouts:
+    * PNG (ISO 15948 §5.3/§11.2.2), GIF87a/89a logical screen descriptor,
+    * BMP BITMAPINFOHEADER, JPEG (ITU T.81) SOFn frame headers. */
+  object HeaderDecoder {
+
+    private def u8(b: Byte): Int = b & 0xff
+    private def be16(p: Array[Byte], i: Int): Int = (u8(p(i)) << 8) | u8(p(i + 1))
+    private def le16(p: Array[Byte], i: Int): Int = (u8(p(i + 1)) << 8) | u8(p(i))
+    private def be32(p: Array[Byte], i: Int): Int =
+      (u8(p(i)) << 24) | (u8(p(i + 1)) << 16) | (u8(p(i + 2)) << 8) | u8(p(i + 3))
+    private def le32(p: Array[Byte], i: Int): Int =
+      (u8(p(i + 3)) << 24) | (u8(p(i + 2)) << 16) | (u8(p(i + 1)) << 8) | u8(p(i))
+
+    private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (format, width, height) when the payload opens with a recognized
+      * container; None otherwise. Never throws on truncated/garbage input. */
+    def decode(p: Array[Byte]): Option[(String, Int, Int)] = {
+      if (p.length >= 24 && p.startsWith(PngSig) &&
+          p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+        // 8-byte signature, 4-byte chunk length, "IHDR", then width/height
+        // as big-endian 32-bit at offsets 16/20
+        Some(("png", be32(p, 16), be32(p, 20)))
+      } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+                 p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+        // logical screen descriptor: little-endian 16-bit width/height at 6/8
+        Some(("gif", le16(p, 6), le16(p, 8)))
+      } else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M') {
+        // BITMAPINFOHEADER at offset 14: biWidth LE32 at 18, biHeight LE32
+        // at 22 (negative = top-down row order; magnitude is the height)
+        Some(("bmp", le32(p, 18), math.abs(le32(p, 22))))
+      } else if (p.length >= 4 && u8(p(0)) == 0xff && u8(p(1)) == 0xd8) {
+        decodeJpeg(p)
+      } else None
+    }
+
+    /** Walk JPEG marker segments to the first SOFn frame header (T.81
+      * §B.2.2): height BE16 at segment offset +5, width at +7. SOF markers
+      * are 0xC0-0xCF minus 0xC4 (DHT), 0xC8 (JPG), 0xCC (DAC). */
+    private def decodeJpeg(p: Array[Byte]): Option[(String, Int, Int)] = {
+      var i = 2
+      while (i + 3 < p.length && u8(p(i)) == 0xff) {
+        val marker = u8(p(i + 1))
+        if (marker == 0xff) { i += 1 } // fill byte
+        else if (marker >= 0xd0 && marker <= 0xd9) { i += 2 } // standalone
+        else {
+          val len = be16(p, i + 2)
+          if (len < 2) return None
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            return if (i + 8 < p.length) Some(("jpeg", be16(p, i + 7), be16(p, i + 5)))
+              else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+  }
+
+  /** The clearly-marked PIXEL-decode stand-in for payloads with no known
+    * container magic (the testdata's text payloads): derives dimensions
+    * deterministically from size/checksum so the plumbing stays
+    * oracle-verifiable. A production deployment would plug codec calls into
+    * [[extractMeta]]'s partition loop instead. */
   object StubDecoder {
     def decode(payload: Array[Byte]): (Int, Int) = {
       val checksum = payload.foldLeft(0L)((a, b) => a + (b & 0xff)) % 997L
@@ -39,15 +109,21 @@ object Multimodal {
       .map("%02x".format(_)).mkString
 
   /** Distributed metadata extraction: one decoder per partition, streaming
-    * through rows (no per-row decoder setup, no driver collect). */
+    * through rows (no per-row decoder setup, no driver collect). Real header
+    * parse first; stub dimensions only for unrecognized payloads. */
   def extractMeta(rows: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       // per-partition decoder/codec initialization would go here
       it.map { r =>
         val checksum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)) % 997L
-        val (w, h) = StubDecoder.decode(r.payload)
-        MediaMeta(r.id, r.payload.length, md5Hex(r.payload), checksum, w, h)
+        val (fmt, w, h) = HeaderDecoder.decode(r.payload) match {
+          case Some(ok) => ok
+          case None =>
+            val (sw, sh) = StubDecoder.decode(r.payload)
+            ("unknown", sw, sh)
+        }
+        MediaMeta(r.id, r.payload.length, md5Hex(r.payload), checksum, fmt, w, h)
       }
     }
   }

@@ -126,6 +126,44 @@ object LlmQueries {
       scored.join(keep, "cluster_id").select("doc_id", "keep_id")
     }),
 
+    // the EXCISION step on top of keep-best: rewrite the corpus with every
+    // non-keeper dropped, composed as an EtlGroup DAG through the Catalog
+    // (mapping node -> anti-join rewrite node) with an incremental-cache
+    // snapshot of the rewritten corpus — the reference's crawl cache shape
+    // (crawl.py:117-153): the NEXT run would keep-first-merge against
+    // rw_corpus_cache instead of recomputing. Result is read back THROUGH
+    // the cache, so the snapshot is load-bearing, not decorative.
+    "q_dedup_rewrite" -> ((s, dir) => {
+      import graft.engine.{Catalog, DfNode, EtlGroup}
+      import org.apache.spark.sql.expressions.Window
+      val work = java.nio.file.Files.createTempDirectory("graft_dedup_rw")
+      graft.TempCleanup.deleteOnExit(work)
+      val cat = new Catalog(s, work.toString)
+      cat.link("rw_docs", s"$dir/documents.parquet")
+      val mapping = new DfNode("rw_mapping", Seq("rw_docs"), Seq("rw_mapping"),
+        fn = { case Seq(docs) =>
+          val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+            k = 5, numHashes = 8, bands = 4, threshold = 0.9)
+          val clusters = graft.er.ConnectedComponents.clusterMapping(pairs.select("a", "b"))
+            .select(col("messy_id").as("doc_id"), col("cluster_id"))
+          val scored = clusters.join(
+            docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q")), "doc_id")
+          val w = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id").asc)
+          val keep = scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select(col("cluster_id"), col("doc_id").as("keep_id"))
+          Seq(scored.join(keep, "cluster_id").select("doc_id", "keep_id"))
+        })
+      val rewrite = new DfNode("rw_rewrite", Seq("rw_docs", "rw_mapping"), Seq("rw_corpus"),
+        fn = { case Seq(docs, m) =>
+          val losers = m.filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+          Seq(docs.join(losers, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), md5(col("text").cast("binary")).as("digest")))
+        })
+      new EtlGroup("dedup_rewrite", Seq(mapping, rewrite)).execute(cat, maxActiveRun = 2)
+      cat.snapshot("rw_corpus")
+      cat.loadCache("rw_corpus")
+    }),
+
     // INCREMENTAL near-dup: the previous run's shingle sets + signatures are
     // PERSISTED through the catalog (write + read-back, the stored-index
     // contract), then a new batch (doc_id % 4 == 0) is checked against them —
@@ -335,6 +373,37 @@ object LlmQueries {
         .select(col("id"), col("n_bytes").cast("long").as("n_bytes"), col("digest"),
           col("checksum"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+    }),
+
+    // REAL header decode, oracle-checked end to end: synthesize genuine
+    // PNG/GIF/BMP/JPEG container headers per document (width/height packed
+    // from doc_id with the format's own endianness, all codegen'd hex/unhex
+    // — no UDF), run them through HeaderDecoder's byte-slicing parse, and
+    // let the oracle recompute the dimensions in closed form from doc_id.
+    // Any bit-order, offset, or endianness bug in either the packer or the
+    // parser breaks the hash match.
+    "q_multimodal_decode" -> ((s, dir) => {
+      val wh4 = "lpad(hex(1 + doc_id % 1000), 4, '0')" // width, BE16 hex
+      val hh4 = "lpad(hex(1 + doc_id % 600), 4, '0')" // height, BE16 hex
+      def le2(be4: String) = s"concat(substr($be4, 3, 2), substr($be4, 1, 2))"
+      val w8 = "lpad(hex(1 + doc_id % 1000), 8, '0')"
+      val h8 = "lpad(hex(1 + doc_id % 600), 8, '0')"
+      def le4(be8: String) =
+        s"concat(substr($be8, 7, 2), substr($be8, 5, 2), substr($be8, 3, 2), substr($be8, 1, 2))"
+      val payloadHex =
+        s"""CASE CAST(doc_id % 4 AS INT)
+           |  WHEN 0 THEN concat('89504E470D0A1A0A0000000D49484452', $w8, $h8, '0806000000')
+           |  WHEN 1 THEN concat('474946383961', ${le2(wh4)}, ${le2(hh4)}, '00')
+           |  WHEN 2 THEN concat('424D0000000000000000360000002800'
+           |              || '0000', ${le4(w8)}, ${le4(h8)})
+           |  ELSE concat('FFD8FFC0000B08', $hh4, $wh4, '01')
+           |END""".stripMargin
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(col("doc_id"), unhex(expr(payloadHex)).as("payload")),
+        "doc_id", "payload")
+      Multimodal.extractMeta(media).toDF()
+        .select(col("id"), col("format"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
     })
   )
 
@@ -464,6 +533,55 @@ object LlmQueries {
          |  FROM clusters c JOIN quality q ON c.doc_id = q.doc_id)
          |SELECT r.doc_id, k.doc_id AS keep_id
          |FROM ranked r JOIN ranked k ON r.cluster_id = k.cluster_id AND k.rn = 1""".stripMargin
+    },
+
+    // keep-best mapping extended one step: the corpus with every non-keeper
+    // excised (same CTE chain, final anti-join against the losers)
+    "q_dedup_rewrite" -> {
+      val estSum = (0 to 7).map(j => s"CAST(sa.h$j = sb.h$j AS INT)").mkString(" + ")
+      s"""WITH RECURSIVE shingles AS ($sqlShingles5),
+         |sig AS ($sqlSig8),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |pruned AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+         |  WHERE $estSum >= 6),
+         |sets AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS i
+         |  FROM pruned c JOIN shingles sa ON c.a = sa.doc_id
+         |  JOIN shingles sb ON c.b = sb.doc_id AND sa.sh = sb.sh
+         |  GROUP BY c.a, c.b),
+         |nd AS (
+         |  SELECT a, b FROM (
+         |    SELECT i.a, i.b,
+         |      CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+         |    FROM inter i JOIN sets na ON i.a = na.doc_id JOIN sets nb ON i.b = nb.doc_id) j
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT a, b FROM nd UNION SELECT b AS a, a AS b FROM nd),
+         |walk AS (
+         |  SELECT DISTINCT a AS id, a AS comp FROM edges
+         |  UNION
+         |  SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON w.id = e.a),
+         |clusters AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
+         |quality AS (
+         |  SELECT doc_id,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |    + least((CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 5.0, 1.0) * 0.25
+         |    + least(CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS DOUBLE)
+         |            / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0) * 0.25 AS q
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, q.q,
+         |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.q DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN quality q ON c.doc_id = q.doc_id)
+         |SELECT d.doc_id, md5(d.text) AS digest
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT r.doc_id FROM ranked r
+         |  JOIN ranked k ON r.cluster_id = k.cluster_id AND k.rn = 1
+         |  WHERE r.doc_id <> k.doc_id)""".stripMargin
     },
 
     "q_dedup_spans" ->
@@ -801,6 +919,17 @@ object LlmQueries {
         |FROM (
         |  SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS digest,
         |    CAST(list_sum(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))) % 997 AS BIGINT) AS checksum
-        |  FROM documents) m""".stripMargin
+        |  FROM documents) m""".stripMargin,
+
+    // closed-form twin of the header-packing arithmetic: the Spark side must
+    // round-trip these dimensions through real container bytes and the
+    // byte-slicing parser to land on the same values
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |  1 + doc_id % 1000 AS width,
+        |  1 + doc_id % 600 AS height
+        |FROM documents""".stripMargin
   )
 }

@@ -49,6 +49,19 @@ object Streams {
     * Scale notes: the window agg is stateful with watermark-bounded state
     * (late data beyond 1h is dropped; state for closed windows is evicted);
     * on a live feed swap the trigger and sink, nothing else changes. */
+  /** The tumbling-window transform shared by [[windowedEventCounts]] (one
+    * AvailableNow drain) and the continuous-feed spec (the same plan under
+    * `Trigger.ProcessingTime` across several micro-batches): watermark + 1h
+    * window, count + exact decimal sum per event type. */
+  def windowedAggPlan(events: DataFrame): DataFrame = events
+    .withColumn("event_ts", eventTime)
+    .withWatermark("event_ts", "1 hour")
+    .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+    .agg(
+      count(lit(1)).as("cnt"),
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    .select(col("window.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
+
   def windowedEventCounts(spark: SparkSession, eventsDir: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     // the file stream source requires a directory; accept a single file too
@@ -56,15 +69,8 @@ object Streams {
       val p = new java.io.File(eventsDir)
       if (p.isFile) (p.getParent, p.getName) else (eventsDir, "*")
     }
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", glob).parquet(base)
-      .withColumn("event_ts", eventTime)
-      .withWatermark("event_ts", "1 hour")
-      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
+    val stream = windowedAggPlan(spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(base))
 
     scopedStateful(spark, base, glob) {
       val q = stream.writeStream
@@ -175,6 +181,17 @@ object Streams {
     * Scale notes: state is one (start, end, agg) triple per OPEN session,
     * merged and evicted by watermark — the managed-state path where
     * [[streamSessions]] is the arbitrary-state path; both bounded. */
+  /** The session-window transform shared by [[sessionWindowCounts]] and the
+    * continuous-feed spec (same plan, different trigger). */
+  def sessionWindowPlan(events: DataFrame, gapMinutes: Int): DataFrame = events
+    .withColumn("event_ts", eventTime)
+    .withWatermark("event_ts", "1 hour")
+    .groupBy(col("user_id"), session_window(col("event_ts"), s"$gapMinutes minutes"))
+    .agg(count(lit(1)).as("n_events"))
+    .select(col("user_id"),
+      unix_micros(col("session_window.start")).as("session_start"),
+      col("n_events"))
+
   def sessionWindowCounts(spark: SparkSession, eventsDir: String,
                           gapMinutes: Int): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
@@ -182,15 +199,8 @@ object Streams {
       val p = new java.io.File(eventsDir)
       if (p.isFile) (p.getParent, p.getName) else (eventsDir, "*")
     }
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", glob).parquet(base)
-      .withColumn("event_ts", eventTime)
-      .withWatermark("event_ts", "1 hour")
-      .groupBy(col("user_id"), session_window(col("event_ts"), s"$gapMinutes minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("session_start"),
-        col("n_events"))
+    val stream = sessionWindowPlan(spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(base), gapMinutes)
     scopedStateful(spark, base, glob) {
       val q = stream.writeStream
         .format("memory")

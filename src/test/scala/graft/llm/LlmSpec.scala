@@ -317,5 +317,43 @@ class LlmSpec extends AnyFunSuite {
     assert(meta(1L).digest !== meta(3L).digest)
     assert(meta(1L).n_bytes === corpus.filter(col("doc_id") === 1).select(length(col("text"))).as[Int].head())
     assert(meta(1L).width >= 64 && meta(1L).height >= 64)
+    assert(meta(1L).format === "unknown") // text payload: no container magic
+  }
+
+  test("header decoder parses PNG/GIF/BMP/JPEG byte fixtures") {
+    import Multimodal.HeaderDecoder.decode
+    def bytes(hex: String): Array[Byte] =
+      hex.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+    // PNG: signature + IHDR, width 800 (0x320), height 600 (0x258), BE32
+    val png = bytes("89504E470D0A1A0A 0000000D 49484452 00000320 00000258 08 06 00 00 00")
+    assert(decode(png) === Some(("png", 800, 600)))
+
+    // GIF89a + GIF87a: logical screen 320x200, LE16 (0x0140, 0x00C8)
+    assert(decode(bytes("474946383961 4001 C800 00")) === Some(("gif", 320, 200)))
+    assert(decode(bytes("474946383761 4001 C800 00")) === Some(("gif", 320, 200)))
+
+    // BMP: BITMAPINFOHEADER, width 1024 (0x400 LE), height 768 (0x300 LE)
+    val bmp = bytes("424D 00000000 00000000 36000000 28000000 00040000 00030000")
+    assert(decode(bmp) === Some(("bmp", 1024, 768)))
+    // top-down BMP: negative height (-768 = 0xFFFFFD00 LE) → magnitude
+    val bmpTopDown = bytes("424D 00000000 00000000 36000000 28000000 00040000 00FDFFFF")
+    assert(decode(bmpTopDown) === Some(("bmp", 1024, 768)))
+
+    // JPEG: SOI + APP0 (skipped) + SOF0 with height 480 (0x01E0), width 640
+    // (0x0280) — the parser must walk past non-SOF segments
+    val jpeg = bytes("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+      " FFC0 000B 08 01E0 0280 01")
+    assert(decode(jpeg) === Some(("jpeg", 640, 480)))
+    // progressive JPEG (SOF2) parses the same frame header layout
+    val jpegProg = bytes("FFD8 FFC2 000B 08 01E0 0280 01")
+    assert(decode(jpegProg) === Some(("jpeg", 640, 480)))
+
+    // non-containers and truncations fall through to None, never throw
+    assert(decode("plain text".getBytes("UTF-8")) === None)
+    assert(decode(Array.empty[Byte]) === None)
+    assert(decode(bytes("89504E470D0A1A0A 0000")) === None) // truncated PNG
+    assert(decode(bytes("FFD8 FFC0 0001")) === None) // corrupt JPEG length
+    assert(decode(bytes("FFD8 FFDA 0004 0000")) === None) // JPEG with no SOF
   }
 }

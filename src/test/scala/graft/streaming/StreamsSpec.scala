@@ -156,4 +156,95 @@ class StreamsSpec extends AnyFunSuite {
     assert(TestSpark.rows(streamed) === TestSpark.rows(batch))
     assert(streamed.count() === 3) // (h0,click), (h0,view), (h1,click)
   }
+
+  // ---- continuous-feed smoke: the same stateful plans driven across THREE
+  // micro-batches (files dropped between batches, ProcessingTime trigger),
+  // final state asserted equal to the one-drain AvailableNow result. This is
+  // the state-store path a real feed exercises: windows/sessions must merge
+  // counts across batch boundaries, not just within one backlog drain.
+
+  /** Write `rows` as one plain parquet FILE `name.parquet` inside `dir`
+    * (the file stream source lists files, not subdirectories). */
+  private def dropFile(dir: java.nio.file.Path, name: String,
+                       rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    val tmp = dir.resolve(name + ".tmp")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    java.nio.file.Files.move(part.toPath, dir.resolve(name + ".parquet"))
+    new java.io.File(tmp.toString).listFiles().foreach(_.delete())
+    java.nio.file.Files.delete(tmp)
+  }
+
+  private def us(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000L
+
+  // three batches: batch 2 extends batch 1's open window/session, batch 3
+  // adds a new hour and a second user — cross-batch state merging in both
+  private val batch1 = Seq(
+    (1L, us(0, 5), 1L, "click", 1.0, "{}"),
+    (2L, us(0, 10), 1L, "view", 2.0, "{}"))
+  private val batch2 = Seq(
+    (3L, us(0, 40), 1L, "click", 3.0, "{}"), // same hour + extends session
+    (4L, us(1, 5), 2L, "click", 4.0, "{}"))
+  private val batch3 = Seq(
+    (5L, us(1, 30), 2L, "click", 5.0, "{}"), // extends user 2's session
+    (6L, us(3, 0), 1L, "view", 6.0, "{}")) // new hour, new session for user 1
+
+  /** Start `plan` on a file stream over `dir` with a ProcessingTime trigger,
+    * drop the three batches with `processAllAvailable` barriers between them
+    * (each drop is observed as at least one separate micro-batch), and
+    * return the final complete-mode state. */
+  private def runThreeBatches(dir: java.nio.file.Path,
+                              plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    dropFile(dir, "b1", batch1)
+    val name = s"graft_feed_${System.nanoTime()}"
+    val q = plan(spark.readStream.schema(Streams.eventsSchema).parquet(dir.toString))
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      dropFile(dir, "b2", batch2)
+      q.processAllAvailable()
+      dropFile(dir, "b3", batch3)
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "expected the three file drops to arrive in at least three micro-batches")
+      spark.table(name).localCheckpoint(true)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+    }
+  }
+
+  test("windowed agg state merges across a 3-micro-batch continuous feed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed_win")
+    graft.TempCleanup.deleteOnExit(dir)
+    val fed = runThreeBatches(dir, Streams.windowedAggPlan)
+    // reference: the identical backlog drained in ONE AvailableNow pass
+    val oneShot = Streams.windowedEventCounts(spark, dir.toString)
+    assert(TestSpark.rows(fed) === TestSpark.rows(oneShot))
+    // and the cross-batch merges actually happened: hour-0 click count is 2
+    // (events 1 and 3 arrived in DIFFERENT batches)
+    val h0clicks = fed.filter(col("event_type") === "click" &&
+      col("window_start").cast("long") === 0L).select("cnt").collect()
+    assert(h0clicks.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("session_window state merges across a 3-micro-batch continuous feed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed_sess")
+    graft.TempCleanup.deleteOnExit(dir)
+    val fed = runThreeBatches(dir, Streams.sessionWindowPlan(_, gapMinutes = 45))
+    val oneShot = Streams.sessionWindowCounts(spark, dir.toString, gapMinutes = 45)
+    assert(TestSpark.rows(fed) === TestSpark.rows(oneShot))
+    // user 1: events at 0:05/0:10/0:40 chain into ONE session (gaps <= 45min)
+    // across batches 1-2, plus a separate session at 3:00; user 2: 1:05+1:30
+    // merge into one session across batches 2-3
+    val sessions = fed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sessions === Set(
+      (1L, us(0, 5), 3L), (1L, us(3, 0), 1L), (2L, us(1, 5), 2L)))
+  }
 }
