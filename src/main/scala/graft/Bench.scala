@@ -153,6 +153,25 @@ object Bench {
       val failed = best.valuesIterator.count(_._1 < 0)
       val total = best.valuesIterator.map(_._1).filter(_ >= 0).sum
       val oracleRaw = oracle.map { case (_, oJson) => s""""oracle":$oJson,""" }.getOrElse("")
+      // per-query oracle seconds, parsed back out of the oracle line's own
+      // "queries" object (every query name is q_-prefixed, so the regex
+      // cannot match the line's other fields)
+      val oracleQ: Map[String, Double] = oracle.map { case (_, oJson) =>
+        """"(q_[A-Za-z0-9_]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(oJson)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+      // per-query [spark, oracle, ratio] triples (bulky zone), and the 8
+      // worst ratios compact enough to survive the tail truncation — a
+      // suite-level 0.97 can hide a 10× outlier; these make it self-identify
+      val triples = best.toSeq.collect {
+        case (k, (v, _)) if v >= 0 && oracleQ.get(k).exists(_ > 0) =>
+          (k, v, oracleQ(k), v / oracleQ(k))
+      }
+      val ratiosJson = triples
+        .map { case (k, s, o, r) => "\"" + k + s"""\":[${r3(s)},${r3(o)},${r2(r)}]""" }
+        .mkString("{", ",", "}")
+      val worstRatio = triples.sortBy(-_._4).take(8)
+        .map { case (k, _, _, r) => "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
       val summary = oracle match {
         case Some((oTotal, _)) =>
           val ratio = if (oTotal > 0) total / oTotal else -1.0
@@ -160,9 +179,22 @@ object Bench {
         case None =>
           s""""spark_total_sec":${r3(total)},"oracle_total_sec":null,"ratio":null"""
       }
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""load_gate":$loadGate,"samples":$ss,$oracleRaw"queries":$qs,""" +
-        s""""slowest":$slowest,$summary,"failed":$failed,"n_queries":${best.size}}""")
+      val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""load_gate":$loadGate,"samples":$ss,$oracleRaw"ratios":$ratiosJson,"queries":$qs,""" +
+        s""""slowest":$slowest,"worst_ratio":$worstRatio,$summary,"failed":$failed,"n_queries":${best.size}}"""
+      println(line)
+      // The driver's round artifact preserves only the stdout TAIL, which
+      // truncates the bulky sections above — persist the complete line as a
+      // repo file so per-query triples stay auditable (and diffable) without
+      // re-running anything. tools/bench_table.py renders the README table
+      // from this file.
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      }
     }
 
     def measure(pass: String, name: String, fn: (SparkSession, String) => DataFrame): Unit = {

@@ -124,6 +124,10 @@ def table(merged):
          f"{j['stragglers'].get('topk_agg', float('nan')):.2f}"),
         ("IVF train (1 Lloyd round)", f"{a['vectors']:,} vectors, {a['n_lists']} lists",
          f"{a['train_sec']:.1f}s", f"{a['stragglers']['train']:.2f}"),
+        ("IVF index build (list assignment)", "same corpus, amortized per snapshot",
+         f"{a.get('build_sec', float('nan')):.1f}s "
+         f"(list skew {a.get('list_skew', float('nan')):.2f})",
+         f"{a['stragglers'].get('build', float('nan')):.2f}"),
         ("IVF search nProbe=1 / 8", f"{a['queries']} queries, k={a['k']}",
          f"{a['ivf1_sec']:.1f}s / {a['ivf8_sec']:.1f}s (recall@8 {a['recall8']:.2f})",
          f"{max(a['stragglers']['ivf1'], a['stragglers']['ivf8']):.2f}"),
