@@ -199,7 +199,15 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 5, numHashes: Int = 8, bands: Int = 4,
                       threshold: Double = 0.9, minEstMatches: Int = -1,
-                      maxBucketSize: Int = 0): DataFrame = {
+                      maxBucketSize: Int = 0): DataFrame =
+  // statistics-gated static planning (same gate as tokenJaccardPairs): the
+  // cascade is ~10 exchanges deep, and on a small corpus AQE's per-stage
+  // driver re-planning dominates the actual work (measured at sf0.1: the
+  // whole cascade is ~4s of which the shingle/hash compute is well under
+  // 1s); at real scale the gate stays open and AQE keeps its skew/coalesce
+  // duties. The localCheckpoints below are eager, and materialize() pins
+  // the returned plan inside the scope — the soundness rule holds.
+  graft.ops.StaticScope.materialize(df) {
     val minM = if (minEstMatches >= 0) minEstMatches
                else math.ceil((threshold - 0.15) * numHashes).toInt
     // EXPLICIT materialization of the two multiply-consumed intermediates,
@@ -225,6 +233,14 @@ object Dedup {
     verifiedJaccardFromSets(pruned, sets, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Gate for [[incrementalNearDups]]: true when the combined input estimate
+    * is below the static-planning threshold (the tuple return means the
+    * caller-visible materialization has to be decided inline rather than by
+    * `StaticScope.materialize`). */
+  private def smallInputs(dfs: DataFrame*): Boolean =
+    dfs.map(graft.ops.StaticScope.inputBytes).sum <
+      BigInt(graft.ops.StaticScope.DefaultThresholdBytes)
+
   /** INCREMENTAL near-dup check: a new batch against a corpus whose shingle
     * sets and signatures were persisted by a previous run (the reference's
     * cache/incremental pattern applied to the dedup pillar). Only the NEW
@@ -248,6 +264,20 @@ object Dedup {
                           k: Int = 5, numHashes: Int = 8, bands: Int = 4,
                           threshold: Double = 0.9, minEstMatches: Int = -1,
                           maxBucketSize: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+    // same statistics gate as minhashNearDups; the tuple return means the
+    // inside-the-scope materialization is decided inline (soundness rule)
+    val gated = smallInputs(newDocs, existingSets, existingSig)
+    def run(): (DataFrame, DataFrame, DataFrame) = incrementalNearDupsBody(
+      newDocs, textCol, idCol, existingSets, existingSig, k, numHashes, bands,
+      threshold, minEstMatches, maxBucketSize, eager = gated)
+    if (gated) graft.ops.StaticScope.scoped(newDocs)(run()) else run()
+  }
+
+  private def incrementalNearDupsBody(newDocs: DataFrame, textCol: String, idCol: String,
+                          existingSets: DataFrame, existingSig: DataFrame,
+                          k: Int, numHashes: Int, bands: Int,
+                          threshold: Double, minEstMatches: Int,
+                          maxBucketSize: Int, eager: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val minM = if (minEstMatches >= 0) minEstMatches
                else math.ceil((threshold - 0.15) * numHashes).toInt
     val rowsPerBand = numHashes / bands
@@ -289,7 +319,7 @@ object Dedup {
     val allSets = existingSets.unionByName(newSets)
     val nearDups = verifiedJaccardFromSets(pruned, allSets, idCol)
       .filter(col("jaccard") >= threshold)
-    (nearDups, newSets, newSig)
+    (if (eager) nearDups.localCheckpoint(true) else nearDups, newSets, newSig)
   }
 
   /** Span-level exact dedup (the C4/RefinedWeb-style pass: drop sentence

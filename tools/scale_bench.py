@@ -30,7 +30,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-HARNESSES = ["graft.ScaleBench", "graft.ScaleJoins", "graft.ScaleAnn"]
+HARNESSES = ["graft.ScaleBench", "graft.ScaleJoins", "graft.ScaleAnn",
+             "graft.ScaleZOrder"]
 
 
 def loadavg():
@@ -86,6 +87,7 @@ PRIMARY = {
     "scale_dedup": lambda r: r["pairs_sec"],
     "scale_joins": lambda r: r["asof_sec"] + r["range_sec"],
     "scale_ann": lambda r: r["brute_sec"] + r["ivf8_sec"],
+    "scale_zorder": lambda r: r["zorder"]["scan_sec"] + r["zorder"]["scan_user_sec"],
 }
 
 
@@ -134,6 +136,20 @@ def table(merged):
         ("Brute-force exact top-k", "same batch",
          f"{a['brute_sec']:.1f}s", f"{a['stragglers']['brute']:.2f}"),
     ]
+    if "scale_zorder" in merged:
+        z = merged["scale_zorder"]
+        zo, pl = z["zorder"], z["plain"]
+        rows += [
+            ("Z-order layout: 2-col probe (0.1%)",
+             f"{z['events']:,} events, {zo['rgs']} row groups",
+             f"skip {zo['row_skip_frac']*100:.1f}% of rows (plain ts-sort "
+             f"{pl['row_skip_frac']*100:.1f}%), scan {zo['scan_sec']:.2f}s vs "
+             f"{pl['scan_sec']:.2f}s", "—"),
+            ("Z-order layout: user-only probe (1%)", "same files",
+             f"skip {zo['row_skip_frac_user']*100:.1f}% (plain "
+             f"{pl['row_skip_frac_user']*100:.1f}%), scan {zo['scan_user_sec']:.2f}s vs "
+             f"{pl['scan_user_sec']:.2f}s", "—"),
+        ]
     out = ["| Operator | Scale | Wall time | Straggler (max/median task) |",
            "|---|---|---|---|"]
     out += [f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} |" for r in rows]
