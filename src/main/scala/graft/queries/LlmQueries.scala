@@ -176,13 +176,19 @@ object LlmQueries {
       val work = java.nio.file.Files.createTempDirectory("graft_inc_dedup")
       graft.TempCleanup.deleteOnExit(work)
       val cat = new graft.engine.Catalog(s, work.toString)
-      cat.write(Dedup.shingleSets(existing, "text", "doc_id", k = 5), "idx_sets")
-      cat.write(Dedup.minhashSignatures(cat.read("idx_sets"), "doc_id", numHashes = 8), "idx_sig")
-      val (pairs, _, _) = Dedup.incrementalNearDups(
-        newBatch, "text", "doc_id",
-        existingSets = cat.read("idx_sets"), existingSig = cat.read("idx_sig"),
-        k = 5, numHashes = 8, bands = 4, threshold = 0.9)
-      pairs
+      // the whole query is materializations (two index writes, then the
+      // gated cascade's eager result), so the static scope is sound for
+      // the setup writes too — on a small corpus their AQE stage
+      // re-planning was most of the remaining wall time
+      graft.ops.StaticScope.scoped(docs) {
+        cat.write(Dedup.shingleSets(existing, "text", "doc_id", k = 5), "idx_sets")
+        cat.write(Dedup.minhashSignatures(cat.read("idx_sets"), "doc_id", numHashes = 8), "idx_sig")
+        val (pairs, _, _) = Dedup.incrementalNearDups(
+          newBatch, "text", "doc_id",
+          existingSets = cat.read("idx_sets"), existingSig = cat.read("idx_sig"),
+          k = 5, numHashes = 8, bands = 4, threshold = 0.9)
+        pairs
+      }
     }),
 
     // 16-bit SimHash fingerprints (majority vote of token-hash bits)
