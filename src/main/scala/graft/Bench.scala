@@ -170,7 +170,12 @@ object Bench {
       val ratiosJson = triples
         .map { case (k, s, o, r) => "\"" + k + s"""\":[${r3(s)},${r3(o)},${r2(r)}]""" }
         .mkString("{", ",", "}")
-      val worstRatio = triples.sortBy(-_._4).take(8)
+      // rank only pairs where BOTH engines do non-trivial work: a 0.5s Spark
+      // constant over a sub-millisecond DuckDB microquery is a 500x "ratio"
+      // that says nothing about scale behavior — the full ratios object above
+      // still carries every query for auditing those constants
+      val worstRatio = triples.filter { case (_, s, o, _) => o >= 0.05 && s >= 0.25 }
+        .sortBy(-_._4).take(8)
         .map { case (k, _, _, r) => "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
       val summary = oracle match {
         case Some((oTotal, _)) =>

@@ -32,8 +32,13 @@ def main():
     print(f"Suite: spark {b.get('spark_total_sec')}s vs oracle "
           f"{b.get('oracle_total_sec')}s = ratio {b.get('ratio')} over "
           f"{b.get('n_queries')} queries ({b.get('failed')} failed).")
-    worst = sorted(ratios.items(), key=lambda kv: -kv[1][2])[:n]
-    print("Worst per-query ratios: "
+    # same floor as Bench's emitted worst_ratio: rank only pairs where both
+    # engines do non-trivial work (a Spark constant over a sub-ms DuckDB
+    # microquery is a huge "ratio" that says nothing about scale behavior)
+    worst = sorted(((k, v) for k, v in ratios.items()
+                    if v[1] >= 0.05 and v[0] >= 0.25),
+                   key=lambda kv: -kv[1][2])[:n]
+    print("Worst per-query ratios (oracle >= 50ms, spark >= 250ms): "
           + ", ".join(f"`{k}` {v[2]:.2f}" for k, v in worst))
 
 
