@@ -31,7 +31,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESSES = ["graft.ScaleBench", "graft.ScaleJoins", "graft.ScaleAnn",
-             "graft.ScaleZOrder"]
+             "graft.ScaleZOrder", "graft.ScaleBuckets"]
 
 
 def loadavg():
@@ -88,6 +88,7 @@ PRIMARY = {
     "scale_joins": lambda r: r["asof_sec"] + r["range_sec"],
     "scale_ann": lambda r: r["brute_sec"] + r["ivf8_sec"],
     "scale_zorder": lambda r: r["zorder"]["scan_sec"] + r["zorder"]["scan_user_sec"],
+    "scale_buckets": lambda r: r["bucket_join_sec"] + r["plain_join_sec"],
 }
 
 
@@ -149,6 +150,14 @@ def table(merged):
              f"skip {zo['row_skip_frac_user']*100:.1f}% (plain "
              f"{pl['row_skip_frac_user']*100:.1f}%), scan {zo['scan_user_sec']:.2f}s vs "
              f"{pl['scan_user_sec']:.2f}s", "—"),
+        ]
+    if "scale_buckets" in merged:
+        k = merged["scale_buckets"]
+        rows += [
+            ("Bucketed co-located join", f"{k['rows']:,} x 2 facts, {k['buckets']} buckets",
+             f"{k['bucket_join_sec']:.2f}s / {k['bucket_exchanges']} exchanges vs plain "
+             f"{k['plain_join_sec']:.2f}s / {k['plain_exchanges']} exchanges "
+             f"(rows+checksum identical)", "—"),
         ]
     out = ["| Operator | Scale | Wall time | Straggler (max/median task) |",
            "|---|---|---|---|"]
