@@ -31,7 +31,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESSES = ["graft.ScaleBench", "graft.ScaleJoins", "graft.ScaleAnn",
-             "graft.ScaleZOrder", "graft.ScaleBuckets"]
+             "graft.ScaleZOrder", "graft.ScaleBuckets", "graft.ScaleStream"]
 
 
 def loadavg():
@@ -89,6 +89,8 @@ PRIMARY = {
     "scale_ann": lambda r: r["brute_sec"] + r["ivf8_sec"],
     "scale_zorder": lambda r: r["zorder"]["scan_sec"] + r["zorder"]["scan_user_sec"],
     "scale_buckets": lambda r: r["bucket_join_sec"] + r["plain_join_sec"],
+    "scale_stream": lambda r: (r["windowed"]["drain_sec"] + r["sessions"]["drain_sec"]
+                               + r["interval_join"]["drain_sec"]),
 }
 
 
@@ -158,6 +160,20 @@ def table(merged):
              f"{k['bucket_join_sec']:.2f}s / {k['bucket_exchanges']} exchanges vs plain "
              f"{k['plain_join_sec']:.2f}s / {k['plain_exchanges']} exchanges "
              f"(rows+checksum identical)", "—"),
+        ]
+    if "scale_stream" in merged:
+        st = merged["scale_stream"]
+        w, se, ij = st["windowed"], st["sessions"], st["interval_join"]
+        rows += [
+            ("Streaming windowed agg (4 micro-batches)", f"{st['events']:,} events backlog",
+             f"{w['drain_sec']:.1f}s = {w['rows_per_sec']:,} rows/s "
+             f"(state peak {w['state_rows_peak']:,}, equals batch exactly)", "—"),
+            ("Streaming session_window (30 min gap)", "same backlog",
+             f"{se['drain_sec']:.1f}s = {se['rows_per_sec']:,} rows/s "
+             f"(state peak {se['state_rows_peak']:,}, open tail {se['open_tail']:,})", "—"),
+            ("Stream-stream interval join", "same backlog, both sides",
+             f"{ij['drain_sec']:.1f}s = {ij['rows_per_sec']:,} rows/s "
+             f"({ij['joined_rows']:,} rows, equals batch range join)", "—"),
         ]
     out = ["| Operator | Scale | Wall time | Straggler (max/median task) |",
            "|---|---|---|---|"]
