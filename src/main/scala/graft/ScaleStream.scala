@@ -21,15 +21,44 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - exactness cross-checks against the BATCH execution of the identical
   *    plan: the windowed aggregate must match exactly (complete mode
   *    aggregates late rows regardless of arrival batch); the interval join
-  *    runs the whole backlog in one batch so inner-join semantics are
-  *    exact and its row count must equal the batch range join; the
+  *    runs MULTI-batch and must still equal the batch range join exactly —
+  *    the feed is time-ordered and the join window (60 s) is far inside the
+  *    watermark delay (1 h), so no cross-batch match can be evicted before
+  *    its partner arrives, while state older than the horizon IS evicted
+  *    between commits (the bounded-state claim, measured); the
   *    append-mode session phase reports emitted vs batch-total rows (the
-  *    difference is the watermark-open tail, reported, not hidden).
+  *    difference is the watermark-open tail, reported, not hidden);
+  *  - the two heavy stateful phases run under BOTH state-store providers
+  *    (default in-heap vs RocksDB) with emission required identical, so the
+  *    provider trade is a measured record, not folklore (see the inline
+  *    note at the session phase for the result and the crossover).
   */
 object ScaleStream {
 
   private def peakState(q: StreamingQuery): Long =
     q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Per-PHASE load gate (same discipline as Bench's per-sample gate): the
+    * harness runs long enough that a single gate at process start cannot
+    * vouch for the later phases — observed 3× swings on the same phase
+    * between back-to-back runs. Bounded wait, and the load each phase
+    * actually started under is stamped into its JSON block. */
+  private def gateOnLoad(tag: String): Double = {
+    val gate = sys.env.get("SCALE_PHASE_GATE").map(_.toDouble).getOrElse(8.0)
+    var l = loadavg()
+    var tries = 0
+    while (l > gate && tries < 12) {
+      System.err.println(f"[scale_stream][gate] $tag load=$l%.2f > $gate%.1f, waiting 20s")
+      Thread.sleep(20000)
+      tries += 1
+      l = loadavg()
+    }
+    l
+  }
 
   private def batches(q: StreamingQuery): Int =
     q.recentProgress.count(_.numInputRows > 0)
@@ -69,6 +98,20 @@ object ScaleStream {
       .repartitionByRange(nFiles, col("ts"))
       .sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$work/events")
+    // The file source feeds batches in MODIFICATION-TIME order, and the 64
+    // range-partitioned files are written by concurrent tasks whose finish
+    // order is arbitrary — so stamp strictly increasing mtimes in path order
+    // (part-00000 holds the lowest ts range) to make the feed deterministic.
+    // Without this, a low-ts file landing in a later micro-batch than files
+    // >1h of event time ahead of it arrives below the watermark and its rows
+    // are dropped from stateful operators (observed: 45% of interval-join
+    // matches lost at 8 files/trigger).
+    locally {
+      val dir = new java.io.File(s"$work/events")
+      val parts = dir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - (parts.length + 1) * 2000L
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    }
     val batchEvents = spark.read.schema(graft.streaming.Streams.eventsSchema)
       .parquet(s"$work/events")
     val total = batchEvents.count()
@@ -79,7 +122,9 @@ object ScaleStream {
       r.parquet(s"$work/events")
     }
 
-    def drain(name: String, out: DataFrame, mode: String): (Double, StreamingQuery, Long) = {
+    val phaseLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def drainOnce(name: String, out: DataFrame, mode: String): (Double, StreamingQuery, Long, Double) = {
+      val load = gateOnLoad(name)
       var sink = 0L
       val t0 = System.nanoTime()
       val q = out.writeStream
@@ -97,7 +142,25 @@ object ScaleStream {
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.streams.resetTerminated()
-      (sec, q, sink)
+      System.err.println(f"[scale_stream] $name sample $sec%.1fs load=$load%.2f")
+      (sec, q, sink, load)
+    }
+
+    // Per-phase min-of-K (default 2): this box's co-tenant bursts (1-min load
+    // 20-30 for minutes at a time) outlast the phase gate, so a single
+    // sample per phase regularly measures a burst, not the operator —
+    // observed 312s vs 31s for the SAME phase in back-to-back runs. Output
+    // counts are deterministic and asserted equal across samples; only the
+    // clock varies, so min is the clean-window estimator. phase_loads keeps
+    // the load of the sample that WON.
+    val phaseSamples = sys.env.get("SCALE_PHASE_SAMPLES").map(_.toInt).getOrElse(2)
+    def drain(name: String, out: => DataFrame, mode: String): (Double, StreamingQuery, Long) = {
+      val runs = (1 to phaseSamples).map { _ => drainOnce(name, out, mode) }
+      require(runs.map(_._3).distinct.size == 1,
+        s"$name sink count varies across samples: ${runs.map(_._3)}")
+      val winner = runs.minBy(_._1)
+      phaseLoads(name) = winner._4
+      (winner._1, winner._2, winner._3)
     }
 
     // 1) watermarked tumbling-window aggregate, 4 micro-batches
@@ -108,18 +171,49 @@ object ScaleStream {
     require(winRows == winBatchRows,
       s"windowed agg diverged from batch: $winRows vs $winBatchRows rows")
 
+    // On a time-ordered feed the sessionizer's state FULLY TURNS OVER every
+    // micro-batch (watermark advances ~7.5 days per commit: ~2.2M sessions
+    // close and ~2.5M open each batch). Both state-store providers are
+    // measured with emission required identical — the provider is pure
+    // physical state management. Measured result (per-phase min-of-2): the
+    // default in-heap provider WINS at this state size (sessions 26.6s vs
+    // 40.0s, interval join 37.8s vs 64.5s) because RocksDB pays JNI +
+    // ser/de per state operation while 2.2M rows of state fit comfortably
+    // in heap and the full-map snapshot to local disk is cheap. The
+    // crossover is when state outgrows executor memory or checkpointing
+    // goes remote: the default's per-commit cost scales with STATE SIZE,
+    // RocksDB's with the STATE DELTA (and state lives off-heap). Recording
+    // both keeps the trade auditable instead of folklore.
+    def withStateProvider[A](rocks: Boolean)(body: => A): A = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      if (rocks)
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else spark.conf.unset(key)
+      try body finally spark.conf.unset(key)
+    }
+
     // 2) native session_window sessionization (30 min gap), 4 micro-batches,
     // append mode: emitted = sessions the final watermark closed
-    val (sesSec, sesQ, sesRows) = drain("sessions",
-      graft.streaming.Streams.sessionWindowPlan(readStreamEvents(Some(filesPerTrigger)), 30),
-      "append")
+    def sessionsOnce(rocks: Boolean): (Double, StreamingQuery, Long) =
+      withStateProvider(rocks)(drain(s"sessions(rocks=$rocks)",
+        graft.streaming.Streams.sessionWindowPlan(readStreamEvents(Some(filesPerTrigger)), 30),
+        "append"))
+    val (sesSec, sesQ, sesRows) = sessionsOnce(rocks = false)
+    val (sesRocksSec, _, sesRocksRows) = sessionsOnce(rocks = true)
     val sesBatchRows = graft.streaming.Streams.sessionWindowPlan(batchEvents, 30).count()
     require(sesRows <= sesBatchRows,
       s"session stream emitted MORE than batch: $sesRows vs $sesBatchRows")
+    require(sesRows == sesRocksRows,
+      s"session emission depends on state provider: default $sesRows vs rocksdb $sesRocksRows")
 
     // 3) stream-stream interval join (clicks to 60s post-view windows),
-    // single batch so inner-join emission is exact vs the batch range join
-    def sided(tpe: String): DataFrame = readStreamEvents(None)
+    // 8 micro-batches: the time-ordered feed + 1h watermark vs a 60s join
+    // window means every cross-batch partner is still in state when its
+    // match arrives (emission stays exact vs the batch range join), while
+    // state behind the horizon is evicted at each commit — state_rows_peak
+    // records ~a batch of rows, not the whole backlog
+    def sided(tpe: String): DataFrame = readStreamEvents(Some(8))
       .filter(col("event_type") === tpe)
       .select(col("event_id").as(s"${tpe}_id"), col("user_id").as(s"${tpe}_user"),
         expr("timestamp_micros(ts)").as(s"${tpe}_ts"))
@@ -128,7 +222,12 @@ object ScaleStream {
       col("click_user") === col("view_user") &&
         col("click_ts") >= col("view_ts") &&
         col("click_ts") <= col("view_ts") + expr("INTERVAL 60 seconds"))
-    val (joinSec, joinQ, joinRows) = drain("interval_join", joined, "append")
+    val (joinSec, joinQ, joinRows) =
+      withStateProvider(rocks = false)(drain("interval_join(rocks=false)", joined, "append"))
+    val (joinRocksSec, _, joinRocksRows) =
+      withStateProvider(rocks = true)(drain("interval_join(rocks=true)", joined, "append"))
+    require(joinRows == joinRocksRows,
+      s"interval join emission depends on state provider: default $joinRows vs rocksdb $joinRocksRows")
     val batchJoinRows = graft.ops.RangeJoin.pointInRange(
       batchEvents.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts")),
@@ -141,15 +240,19 @@ object ScaleStream {
       s"stream interval join diverged from batch range join: $joinRows vs $batchJoinRows")
 
     def rate(sec: Double): Long = math.round(total / sec)
+    val loadsJson = phaseLoads.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_stream","events":$total,"users":$nUsers,""" +
+      s""""phase_loads":$loadsJson,""" +
       s""""windowed":{"drain_sec":$winSec,"batches":${batches(winQ)},""" +
       s""""rows_per_sec":${rate(winSec)},"state_rows_peak":${peakState(winQ)},""" +
       s""""result_rows":$winRows},""" +
-      s""""sessions":{"drain_sec":$sesSec,"batches":${batches(sesQ)},""" +
+      s""""sessions":{"drain_sec":$sesSec,"rocksdb_drain_sec":$sesRocksSec,""" +
+      s""""batches":${batches(sesQ)},""" +
       s""""rows_per_sec":${rate(sesSec)},"state_rows_peak":${peakState(sesQ)},""" +
       s""""emitted":$sesRows,"batch_total":$sesBatchRows,""" +
       s""""open_tail":${sesBatchRows - sesRows}},""" +
-      s""""interval_join":{"drain_sec":$joinSec,"batches":${batches(joinQ)},""" +
+      s""""interval_join":{"drain_sec":$joinSec,"rocksdb_drain_sec":$joinRocksSec,""" +
+      s""""batches":${batches(joinQ)},""" +
       s""""rows_per_sec":${rate(joinSec)},"state_rows_peak":${peakState(joinQ)},""" +
       s""""joined_rows":$joinRows}}""")
     spark.stop()

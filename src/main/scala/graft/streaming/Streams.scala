@@ -13,6 +13,20 @@ import org.apache.spark.sql.streaming.Trigger
   * current backlog and stops, which makes the streaming path testable against
   * a batch/DuckDB oracle (identical input ⇒ identical windows) while the same
   * code runs continuous micro-batches on a real feed.
+  *
+  * Production state-store note (measured, [[graft.ScaleStream]]): on a
+  * time-ordered feed a sessionizer's state fully turns over every commit
+  * (~2.2M sessions close, ~2.5M open per batch at the 10M-event record).
+  * Both providers were measured with identical emission asserted: at that
+  * state size the default in-heap provider WINS (sessions 26.6s vs RocksDB
+  * 40.0s; interval join 37.8s vs 64.5s) — RocksDB pays JNI + ser/de per
+  * state operation, while 2.2M rows fit comfortably in heap and the
+  * full-map snapshot to local disk is cheap. The crossover favoring
+  * RocksDB (`spark.sql.streaming.stateStore.providerClass` →
+  * `...state.RocksDBStateStoreProvider`) is state that outgrows executor
+  * memory: the default's per-commit cost scales with STATE SIZE, RocksDB's
+  * with the state DELTA, and its state lives off-heap. The transforms here
+  * are provider-agnostic; pick by measured state size, not folklore.
   */
 object Streams {
 

@@ -170,10 +170,12 @@ def table(merged):
              f"(state peak {w['state_rows_peak']:,}, equals batch exactly)", "—"),
             ("Streaming session_window (30 min gap)", "same backlog",
              f"{se['drain_sec']:.1f}s = {se['rows_per_sec']:,} rows/s "
-             f"(state peak {se['state_rows_peak']:,}, open tail {se['open_tail']:,})", "—"),
+             f"(RocksDB {se.get('rocksdb_drain_sec', float('nan')):.1f}s; "
+             f"state peak {se['state_rows_peak']:,}, open tail {se['open_tail']:,})", "—"),
             ("Stream-stream interval join", "same backlog, both sides",
              f"{ij['drain_sec']:.1f}s = {ij['rows_per_sec']:,} rows/s "
-             f"({ij['joined_rows']:,} rows, equals batch range join)", "—"),
+             f"(RocksDB {ij.get('rocksdb_drain_sec', float('nan')):.1f}s; "
+             f"{ij['joined_rows']:,} rows, equals batch range join)", "—"),
         ]
     out = ["| Operator | Scale | Wall time | Straggler (max/median task) |",
            "|---|---|---|---|"]
