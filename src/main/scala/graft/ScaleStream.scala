@@ -79,7 +79,7 @@ object ScaleStream {
     val work = java.nio.file.Files.createTempDirectory("graft_scale_stream")
     TempCleanup.deleteOnExit(work)
     val tsRange = 2592000000000L // 30 days of microseconds
-    spark.range(nEvents)
+    val events = spark.range(nEvents)
       .select(
         col("id").as("event_id"),
         pmod(xxhash64(col("id"), lit(3)), lit(tsRange)).as("ts"),
@@ -88,30 +88,11 @@ object ScaleStream {
           .otherwise(lit("view")).as("event_type"),
         (pmod(xxhash64(col("id"), lit(5)), lit(1000)) / lit(100.0)).as("value"),
         lit("{}").as("props"))
-      // TIME-ORDERED files (range-partition on ts): the file source feeds
-      // batches in path order, so the watermark advances the way it does on
-      // a real feed. Hash-random file order lets batch 1 contain near-max
-      // timestamps — the watermark jumps to max-1h immediately and every
-      // later batch's events arrive "late" and are dropped from stateful
-      // aggregation, which both corrupts the session comparison and
-      // understates the state work being measured.
-      .repartitionByRange(nFiles, col("ts"))
-      .sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(s"$work/events")
-    // The file source feeds batches in MODIFICATION-TIME order, and the 64
-    // range-partitioned files are written by concurrent tasks whose finish
-    // order is arbitrary — so stamp strictly increasing mtimes in path order
-    // (part-00000 holds the lowest ts range) to make the feed deterministic.
-    // Without this, a low-ts file landing in a later micro-batch than files
-    // >1h of event time ahead of it arrives below the watermark and its rows
-    // are dropped from stateful operators (observed: 45% of interval-join
-    // matches lost at 8 files/trigger).
-    locally {
-      val dir = new java.io.File(s"$work/events")
-      val parts = dir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val base = System.currentTimeMillis() - (parts.length + 1) * 2000L
-      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
-    }
+    // TIME-ORDERED replay (range-partitioned files + mtime stamp): a
+    // CORRECTNESS requirement for the multi-batch stateful phases — see
+    // writeTimeOrderedFeed's scaladoc; without the stamp, 45% of the
+    // interval-join matches were silently dropped below the watermark.
+    graft.streaming.Streams.writeTimeOrderedFeed(events, "ts", s"$work/events", nFiles)
     val batchEvents = spark.read.schema(graft.streaming.Streams.eventsSchema)
       .parquet(s"$work/events")
     val total = batchEvents.count()

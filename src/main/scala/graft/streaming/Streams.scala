@@ -38,6 +38,34 @@ object Streams {
   /** Micros-long to proper event-time timestamp. */
   def eventTime = expr("timestamp_micros(ts)")
 
+  /** Write `df` as a TIME-ORDERED file feed: range-partition on `tsCol` into
+    * `nFiles` parquet files sorted within each, then stamp strictly
+    * increasing modification times in path order (part-00000 holds the
+    * lowest ts range). Returns the number of files stamped.
+    *
+    * Why the stamp is load-bearing: Structured Streaming's file source
+    * feeds micro-batches in MODIFICATION-TIME order, but concurrent write
+    * tasks finish in arbitrary order — so a freshly written range-
+    * partitioned directory replays in effectively random order. A low-ts
+    * file landing a batch behind files far ahead of it in event time
+    * arrives below the watermark, and stateful operators (joins, session
+    * windows, dedup) silently drop or mis-handle its rows — measured in
+    * [[graft.ScaleStream]] as 45% of stream-stream interval-join matches
+    * lost. Any backlog replay, test fixture, or reprocessing job that
+    * feeds files to a watermarked query should write through this. */
+  def writeTimeOrderedFeed(df: DataFrame, tsCol: String, path: String, nFiles: Int): Int = {
+    df.repartitionByRange(nFiles, col(tsCol))
+      .sortWithinPartitions(tsCol)
+      .write.mode("overwrite").parquet(path)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // strictly increasing, 2s apart (comfortably above any FS mtime
+    // granularity), all in the past so new arrivals sort after the backlog
+    val base = System.currentTimeMillis() - (parts.length + 1) * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    parts.length
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Size the state-store fan-out to the backlog. A stateful streaming

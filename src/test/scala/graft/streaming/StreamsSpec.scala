@@ -247,4 +247,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessions === Set(
       (1L, us(0, 5), 3L), (1L, us(3, 0), 1L), (2L, us(1, 5), 2L)))
   }
+
+  test("writeTimeOrderedFeed replays files in event-time order (mtime = path = ts order)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed_order")
+    graft.TempCleanup.deleteOnExit(dir)
+    val path = s"$dir/events"
+    // deliberately scrambled input partitioning: the writer must range-sort it
+    val events = spark.range(1000).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(1000000L)).as("ts"),
+      (col("id") % 7).as("user_id"),
+      lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .repartition(6)
+    val n = Streams.writeTimeOrderedFeed(events, "ts", path, nFiles = 6)
+    assert(n === 6)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // mtimes strictly increase in path order
+    assert(parts.map(_.lastModified()).sliding(2).forall { case Array(a, b) => a < b })
+    // path order IS ts order: file i's max ts <= file i+1's min ts
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f.getPath).agg(min("ts"), max("ts")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    ranges.sliding(2).foreach { case Array((_, maxA), (minB, _)) => assert(maxA <= minB) }
+    // end-to-end: a 3-batch drain sees non-decreasing event time across batches
+    val batchMax = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", 2).parquet(path)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = df.agg(min("ts"), max("ts")).head()
+        batchMax.synchronized {
+          assert(batchMax.lastOption.forall(_ <= r.getLong(0)),
+            s"batch starts before the previous batch's max ts")
+          batchMax += r.getLong(1)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.streams.resetTerminated()
+    assert(batchMax.size === 3)
+  }
 }
