@@ -290,6 +290,113 @@ object Similarity {
       Seq(col("cos").desc, col("match_id").asc), k)
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the ANN memory-compression path.
+  //
+  // A d-dim vector is split into `m` subspaces of d/m dims; each subspace
+  // gets a small codebook (`nCodes` centroids), and a vector is stored as m
+  // small code ids — 8 bytes here versus 256 bytes of float32 for the
+  // 64-dim corpus, a 32x compression. Queries score candidates with
+  // ASYMMETRIC DISTANCE COMPUTATION (Jégou, Douze, Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011): the query
+  // precomputes ONE m x nCodes table of sub-dot-products against the
+  // codebook, and each candidate costs m table lookups instead of d
+  // multiply-adds. At 100 TB this is what makes in-memory ANN feasible:
+  // the scanned representation shrinks 32x and per-candidate arithmetic
+  // drops d/m-fold, while the full-precision vectors stay on disk for an
+  // optional exact re-rank of the short-list.
+  //
+  // Same determinism contract as the rest of this module: milliunit
+  // integer vectors, integer sub-dots, integer ADC scores — bit-identical
+  // in any engine, so codebook + encode + search are oracle-verifiable
+  // end-to-end (ties break to the smallest code / match id).
+  // ---------------------------------------------------------------------
+
+  /** Codebook for [[pqEncode]]/[[pqTopK]]: the first `nCodes` corpus
+    * vectors' sub-vectors, per subspace (the deterministic untrained
+    * convention, mirroring [[ivfTopK]]'s seed rule — swap in per-subspace
+    * Lloyd refinement for production recall). Driver state: m × nCodes ×
+    * (d/m) integers. Returns cb(j)(c) = centroid c of subspace j. */
+  def pqCodebook(corpus: DataFrame, idCol: String, embCol: String,
+                 m: Int, nCodes: Int): Array[Array[Array[Long]]] = {
+    val seeds = corpus.filter(col(idCol) < nCodes)
+      .select(col(idCol).cast("long"), quantize(col(embCol)))
+      .collect().sortBy(_.getLong(0)).take(nCodes)
+      .map(_.getSeq[Long](1).toArray)
+    require(seeds.length == nCodes, s"pqCodebook: needs $nCodes seed vectors, got ${seeds.length}")
+    val d = seeds.head.length
+    require(d % m == 0, s"pqCodebook: dims $d not divisible by m=$m")
+    val sub = d / m
+    Array.tabulate(m)(j => seeds.map(_.slice(j * sub, j * sub + sub)))
+  }
+
+  /** Encode each vector as m code ids (`codes: array<int>`): per subspace,
+    * the L2-nearest codebook centroid. argmin ||x_j - c||² == argmax of
+    * (2·x_j·c − c·c) since ||x_j||² is constant per row — so assignment is
+    * the same narrow literal-argmax idiom as [[assignToLists]]: integer
+    * scores, ties to the smallest code, zero shuffle, zero joins. Keeps the
+    * exact vector (`v`, `vn`) alongside for the optional re-rank. */
+  def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
+               cb: Array[Array[Array[Long]]], outId: String): DataFrame = {
+    val m = cb.length
+    val sub = cb.head.head.length
+    val codeExprs = (0 until m).map { j =>
+      val xj = slice(col("v"), j * sub + 1, sub)
+      val scored = cb(j).zipWithIndex.map { case (cv, c) =>
+        val cc = cv.foldLeft(0L)((a, x) => a + x * x)
+        struct((qdot(xj, typedLit(cv.toSeq)) * 2 - lit(cc)).as("s"), lit(-c).as("nc"))
+      }
+      (-array_max(array(scored.toIndexedSeq: _*)).getField("nc")).cast("int")
+    }
+    corpus.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
+      .withColumn("vn", qdot(col("v"), col("v")))
+      .withColumn("codes", array(codeExprs: _*))
+  }
+
+  /** PQ ANN top-k by integer ADC score. Each query row computes its m ×
+    * nCodes lookup table ONCE (a literal-codebook expression — narrow, no
+    * join); scoring a candidate is then m `element_at` lookups summed:
+    * adc(q, x) = Σ_j lut[j][code_j(x)] ≈ q·x, an exact BIGINT. The query
+    * side broadcasts (queries ≪ corpus by contract), the corpus side scans
+    * its codes in natural partitioning — no shuffle of the corpus at all.
+    * `rerank` > 0 re-scores the top-`rerank` ADC short-list per query with
+    * exact cosine over the stored full-precision vectors (output columns
+    * (query_id, match_id, cos)); `rerank` = 0 returns the pure-ADC ranking
+    * (query_id, match_id, adc) — integer-exact and oracle-checkable. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+             m: Int, nCodes: Int, k: Int, rerank: Int = 0): DataFrame = {
+    val cb = pqCodebook(corpus, idCol, embCol, m, nCodes)
+    val sub = cb.head.head.length
+    val enc = pqEncode(corpus, idCol, embCol, cb, "match_id")
+      .withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn")
+    val lut = array((0 until m).map { j =>
+      val qj = slice(col("qv"), j * sub + 1, sub)
+      array(cb(j).indices.map(c => qdot(qj, typedLit(cb(j)(c).toSeq))): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
+      .withColumn("lut", lut)
+    val adcCol = (0 until m)
+      .map(j => element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = broadcast(q).crossJoin(enc)
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("qv"), col("qn"), col("match_id"),
+        col("cv"), col("cn"), adcCol.cast("long").as("adc"))
+    if (rerank <= 0)
+      graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+        Seq(col("adc").desc, col("match_id").asc), k)
+        .select("query_id", "match_id", "adc")
+    else {
+      val short = graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+        Seq(col("adc").desc, col("match_id").asc), rerank)
+      val exact = short.select(col("query_id"), col("match_id"),
+        normedCos(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
+      graft.ops.DistinctOn.topK(exact, Seq(col("query_id")),
+        Seq(col("cos").desc, col("match_id").asc), k)
+    }
+  }
+
   /** Embedding near-dup pairs: within-bucket candidate pairs with cosine above
     * `threshold` (the embedding flavor of LSH dedup). */
   def nearDupPairs(emb: DataFrame, idCol: String, embCol: String,

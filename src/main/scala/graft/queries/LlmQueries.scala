@@ -57,6 +57,42 @@ object LlmQueries {
   private def sqlQdot(a: String, b: String) =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS DOUBLE)"
 
+  /** Integer dot product kept exact (BIGINT) — the PQ ADC scores rank on
+    * integers, mirroring the Spark side's long arithmetic bit-for-bit. */
+  private def sqlQdotInt(a: String, b: String) =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** Shared PQ pipeline CTEs (codebook from the first 16 vectors' 8-dim
+    * sub-slices, L2-nearest encode via the constant-free 2·x·c − c·c argmax,
+    * integer ADC scores for the <10 query slice), mirroring
+    * [[Similarity.pqCodebook]]/`pqEncode`/`pqTopK` step for step. `tail` is
+    * the final SELECT (plus an extra CTE when `extraCte`). */
+  private def sqlPqAdc(tail: String, extraCte: Boolean = false) = {
+    val sep = if (extraCte) "," else ""
+    s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
+       |cb AS (
+       |  SELECT s.vec_id AS code, t.j AS j,
+       |    list_slice(s.qv, t.j * 8 + 1, t.j * 8 + 8) AS cv
+       |  FROM v s, UNNEST(generate_series(0, 7)) AS t(j)
+       |  WHERE s.vec_id < 16),
+       |enc AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT x.vec_id, cb.j, cb.code,
+       |      row_number() OVER (PARTITION BY x.vec_id, cb.j
+       |        ORDER BY 2 * ${sqlQdotInt("list_slice(x.qv, cb.j * 8 + 1, cb.j * 8 + 8)", "cb.cv")}
+       |          - ${sqlQdotInt("cb.cv", "cb.cv")} DESC, cb.code) AS rn
+       |    FROM v x CROSS JOIN cb) a
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+       |    CAST(SUM(${sqlQdotInt("list_slice(q.qv, c.j * 8 + 1, c.j * 8 + 8)", "c.cv")}) AS BIGINT) AS adc
+       |  FROM v q
+       |  JOIN enc e ON q.vec_id < 10 AND q.vec_id <> e.vec_id
+       |  JOIN cb c ON c.j = e.j AND c.code = e.code
+       |  GROUP BY 1, 2)$sep
+       |$tail""".stripMargin
+  }
+
   private def sqlQcos(a: String, b: String) =
     s"${sqlQdot(a, b)} / (sqrt(${sqlQdot(a, a)}) * sqrt(${sqlQdot(b, b)}))"
 
@@ -252,6 +288,24 @@ object LlmQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         nLists = 16, k = 5, nProbe = 1, trainIters = 2)
+    }),
+
+    // Product-quantization top-5 by integer ADC score: 8 subspaces x 16
+    // codes, candidates scored via the per-query lookup table over 8-byte
+    // codes (32x memory compression; exact BIGINT scores — the whole
+    // codebook/encode/search path is oracle-checked)
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        m = 8, nCodes = 16, k = 5)
+    }),
+
+    // PQ with exact re-rank: ADC short-list of 50, then full-precision
+    // cosine re-ranking to top-5 (the standard two-stage PQ recall fix)
+    "q_ann_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        m = 8, nCodes = 16, k = 5, rerank = 50)
     }),
 
     // token counting: whitespace + BPE-ish regex subword count
@@ -717,6 +771,28 @@ object LlmQueries {
          |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
          |WHERE rn <= 5""".stripMargin
     },
+
+    "q_ann_pq" -> sqlPqAdc(
+      """SELECT query_id, match_id, adc FROM (
+        |  SELECT query_id, match_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, match_id) AS rn
+        |  FROM adc) z
+        |WHERE rn <= 5""".stripMargin),
+
+    "q_ann_pq_rerank" -> sqlPqAdc(
+      s"""sl AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT query_id, match_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, match_id) AS rn
+         |    FROM adc) z
+         |  WHERE rn <= 50)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT s.query_id, s.match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, s.match_id) AS rn
+         |  FROM sl s JOIN v q ON q.vec_id = s.query_id
+         |    JOIN v c ON c.vec_id = s.match_id) z
+         |WHERE rn <= 5""".stripMargin, extraCte = true),
 
     "q_ann_ivf_multiprobe" ->
       s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),

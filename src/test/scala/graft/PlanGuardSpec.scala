@@ -26,6 +26,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_ann_ivf",        // IVF probe: queries x nLists seed table
     "q_ann_ivf_multiprobe",
     "q_ann_ivf_kmeans",
+    "q_ann_pq",         // ADC scan: query batch (with its LUT) broadcast over codes
+    "q_ann_pq_rerank",  // same scan, plus exact re-rank of the short-list
     "q_er_gazetteer"    // gazetteer term list broadcast against features
   )
 

@@ -186,6 +186,56 @@ class LlmSpec extends AnyFunSuite {
     assert(p4 === brute, "probing every list is exact search")
   }
 
+  test("PQ encode assigns each subspace's L2-nearest code (codebook = first seeds' sub-slices)") {
+    // 4 dims, m=2 subspaces of 2 dims; codebook seeds are vecs 0 and 1:
+    //   subspace 0 centroids: [1,0] (code 0), [0,1] (code 1)
+    //   subspace 1 centroids: [0,1] (code 0), [1,0] (code 1)
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // near seed 0 in both subspaces
+      (3L, Array(0.1f, 0.9f, 0.9f, 0.1f)), // near seed 1 in both
+      (4L, Array(0.9f, 0.1f, 0.9f, 0.1f))  // mixed: sub0 -> code 0, sub1 -> code 1
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(data, "vec_id", "embedding", m = 2, nCodes = 2)
+    assert(cb.length === 2 && cb(0).length === 2 && cb(0)(0).length === 2)
+    assert(cb(0)(0).toSeq === Seq(1000L, 0L) && cb(1)(0).toSeq === Seq(0L, 1000L))
+    val codes = Similarity.pqEncode(data, "vec_id", "embedding", cb, "id")
+      .select(col("id"), col("codes")).as[(Long, Seq[Int])].collect().toMap
+    assert(codes(2L) === Seq(0, 0))
+    assert(codes(3L) === Seq(1, 1))
+    assert(codes(4L) === Seq(0, 1))
+    assert(codes.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+  }
+
+  test("PQ with full-coverage re-rank equals brute force; pure ADC ranks clusters sanely") {
+    // 24 vectors in 3 clean clusters along axes of a 4-dim space, with small
+    // deterministic jitter so every vector is distinct
+    val data = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.fill(4)(0.05f * ((i * 7 + 3) % 5))
+      base(c) = 1.0f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = data.filter(col("vec_id") < 3)
+    // shortlist >= corpus => the exact re-rank sees every candidate, so the
+    // two-stage PQ search must reproduce brute force bit-for-bit
+    val pq = Similarity.pqTopK(data, queries, "vec_id", "embedding",
+      m = 2, nCodes = 4, k = 5, rerank = 24)
+      .select("query_id", "match_id", "cos").as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(data, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "match_id", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(pq === brute)
+    // pure ADC: integer scores, k rows per query, and the top ADC match for
+    // each query lives in the query's own cluster (codes separate the axes)
+    val adc = Similarity.pqTopK(data, queries, "vec_id", "embedding",
+      m = 2, nCodes = 4, k = 5)
+      .select("query_id", "match_id", "adc").as[(Long, Long, Long)].collect()
+    assert(adc.groupBy(_._1).forall(_._2.length == 5))
+    val top = adc.groupBy(_._1).map { case (q, rows) => q -> rows.maxBy(_._3)._2 }
+    top.foreach { case (q, m) => assert(m % 3 === q % 3, s"query $q top ADC match $m off-cluster") }
+  }
+
   test("sign-bucket LSH co-buckets aligned vectors and separates opposites") {
     val b = vecs.select(col("vec_id"), Similarity.signBucket(col("embedding"), 3).as("bk"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

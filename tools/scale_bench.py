@@ -205,11 +205,27 @@ def main():
             # clock varies with co-tenant load — so the smaller primary
             # wall-time is always the cleaner record. Repeated invocations
             # monotonically improve the artifact (--fresh discards history).
-            covers = old is not None and all(f in old for f in rec if f.endswith("_sec"))
+            # Only records of the SAME workload compete: a run at default
+            # size must not displace a deliberately larger record just
+            # because it finished faster (a 100k-doc rerun once clobbered
+            # the 1.25M-doc dedup record this way). Workload identity =
+            # the input-size parameters (NOT derived measurements like task
+            # counts, which vary with AQE).
+            INPUT_FIELDS = ("copies", "docs", "events", "users", "vectors",
+                            "n_lists", "queries", "k", "rows", "buckets")
+            def workload(r):
+                return {f: r[f] for f in INPUT_FIELDS if f in r}
+            same = old is not None and workload(old) == workload(rec)
+            covers = same and all(f in old for f in rec if f.endswith("_sec"))
             if covers and k in PRIMARY and PRIMARY[k](old) <= PRIMARY[k](rec):
                 print(f"[scale] keeping existing {k} record "
                       f"({PRIMARY[k](old):.1f}s <= {PRIMARY[k](rec):.1f}s)", file=sys.stderr)
             else:
+                if old is not None and not same:
+                    print(f"[scale] WARNING: {k} workload changed "
+                          f"{workload(old)} -> {workload(rec)}; replacing the old "
+                          f"record (set SCALE_* envs to match if unintended)",
+                          file=sys.stderr)
                 merged[k] = rec
         with open(out_path, "w") as f:
             json.dump(merged, f, indent=1)
