@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   *  - `brute_sec`  — exact brute-force top-k on the identical batch;
   *  - `recall8`    — |IVF∩exact| / |exact| at nProbe=8;
   *  - `list_skew`  — max/mean inverted-list size (balance proof);
+  *  - `pq_*` — the product-quantization lifecycle on the same corpus and
+  *    query batch: one-time encode to the materialized codes artifact
+  *    (`pq_encode_sec`, on-disk `pq_compression` vs the raw embedding
+  *    table), a pure-ADC search over the compressed codes (`pq_adc_sec`,
+  *    recall reported honestly — coarse 64-cell codebooks rank siblings by
+  *    tie-broken integer scores), and the production two-stage search
+  *    (`pq_rerank_sec`: ADC short-list of 20k, exact cosine re-rank, with
+  *    `pq_rerank_recall` against brute force);
   *  - per-phase straggler ratio (max/median task time within a stage, worst
   *    stage with ≥ 8 non-trivial tasks) and per-phase 1-min loadavg — a
   *    co-tenant burst is self-identifying in the artifact.
@@ -131,60 +139,128 @@ object ScaleAnn {
     val stride = math.max(1L, nVecs / nLists)
     val seedWhere = col("vec_id") % stride === 0 && col("vec_id") < stride * nLists
 
-    val loadTrain = gateOnLoad("train")
-    val t0 = System.nanoTime()
-    val seeds = Similarity.kmeansSeeds(corpus, "vec_id", "embedding", nLists,
-        iters = 1, seedWhere = Some(seedWhere))
-      .localCheckpoint(true)
-    seeds.count()
-    val trainSec = (System.nanoTime() - t0) / 1e9
-    val trainStraggler = straggler()
+    // Per-phase min-of-K (default 2) — the ScaleStream lesson applied here:
+    // this box's co-tenant bursts outlast both the wrapper's settle and a
+    // phase-start gate (observed: pq_encode 18s and 135s in back-to-back
+    // runs, the SLOW one at the lower phase-start load). Phase outputs are
+    // deterministic, so min is the clean-window estimator; the winning
+    // sample's load and straggler are what get recorded.
+    val phaseSamples = sys.env.getOrElse("SCALE_PHASE_SAMPLES", "2").toInt
+    def bestOf[A](tag: String)(body: => A): (A, Double, Double, Double) = {
+      val runs = (1 to phaseSamples).map { _ =>
+        val load = gateOnLoad(tag)
+        val t = System.nanoTime()
+        val a = body
+        val sec = (System.nanoTime() - t) / 1e9
+        val st = straggler()
+        System.err.println(f"[scale_ann] $tag sample $sec%.1fs load=$load%.2f")
+        (a, sec, st, load)
+      }
+      runs.minBy(_._2)
+    }
+
+    val (seeds, trainSec, trainStraggler, loadTrain) = bestOf("train") {
+      val s = Similarity.kmeansSeeds(corpus, "vec_id", "embedding", nLists,
+          iters = 1, seedWhere = Some(seedWhere))
+        .localCheckpoint(true)
+      s.count()
+      s
+    }
 
     // index build: one narrow corpus pass, materialized like any index artifact
-    val loadBuild = gateOnLoad("build")
-    val tb = System.nanoTime()
-    Similarity.assignToLists(corpus, "vec_id", "embedding", seeds, "match_id")
-      .write.mode("overwrite").parquet(s"$work/lists.parquet")
-    val lists = spark.read.parquet(s"$work/lists.parquet")
-    val buildSec = (System.nanoTime() - tb) / 1e9
-    val buildStraggler = straggler()
+    val (lists, buildSec, buildStraggler, loadBuild) = bestOf("build") {
+      Similarity.assignToLists(corpus, "vec_id", "embedding", seeds, "match_id")
+        .write.mode("overwrite").parquet(s"$work/lists.parquet")
+      spark.read.parquet(s"$work/lists.parquet")
+    }
     val sizes = lists.groupBy("list_id").count().select("count").collect().map(_.getLong(0))
     val listSkew = if (sizes.isEmpty) -1.0
       else sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
 
-    def searchIvf(nProbe: Int): (Double, Double, Double, org.apache.spark.sql.DataFrame) = {
-      val load = gateOnLoad(s"ivf$nProbe")
-      val t = System.nanoTime()
-      val out = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
-        nLists = nLists, k = k, nProbe = nProbe,
-        seedTable = Some(seeds), listTable = Some(lists))
-        .localCheckpoint(true)
-      out.count()
-      ((System.nanoTime() - t) / 1e9, straggler(), load, out)
-    }
-    val (ivf1Sec, ivf1Straggler, loadIvf1, _) = searchIvf(1)
-    val (ivf8Sec, ivf8Straggler, loadIvf8, ivf8) = searchIvf(8)
+    def searchIvf(nProbe: Int): (org.apache.spark.sql.DataFrame, Double, Double, Double) =
+      bestOf(s"ivf$nProbe") {
+        val out = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+          nLists = nLists, k = k, nProbe = nProbe,
+          seedTable = Some(seeds), listTable = Some(lists))
+          .localCheckpoint(true)
+        out.count()
+        out
+      }
+    val (_, ivf1Sec, ivf1Straggler, loadIvf1) = searchIvf(1)
+    val (ivf8, ivf8Sec, ivf8Straggler, loadIvf8) = searchIvf(8)
 
-    val loadBrute = gateOnLoad("brute")
-    val t1 = System.nanoTime()
-    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = k)
-      .localCheckpoint(true)
+    val (exact, bruteSec, bruteStraggler, loadBrute) = bestOf("brute") {
+      val e = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = k)
+        .localCheckpoint(true)
+      e.count()
+      e
+    }
     val nExact = exact.count()
-    val bruteSec = (System.nanoTime() - t1) / 1e9
-    val bruteStraggler = straggler()
 
     val hits = ivf8.select("query_id", "match_id")
       .intersect(exact.select("query_id", "match_id")).count()
     val recall8 = hits.toDouble / nExact
 
+    // --- product quantization: the memory-compression path. Codebook from
+    // STRIDED seeds (same replicated-corpus lesson as the IVF seeds), codes
+    // materialized once per snapshot like the IVF lists; search = pure-ADC
+    // scan over the codes (the compressed representation), then the
+    // two-stage variant re-ranks its ADC short-list with exact cosine.
+    val pqM = 8
+    val pqCodes = sys.env.getOrElse("SCALE_PQ_CODES", "64").toInt
+    val pqStride = math.max(1L, nVecs / pqCodes)
+    val pqSeedWhere = col("vec_id") % pqStride === 0 && col("vec_id") < pqStride * pqCodes
+
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding", pqM, pqCodes,
+      Some(pqSeedWhere))
+    val (encTable, pqEncodeSec, pqEncodeStraggler, loadEnc) = bestOf("pq_encode") {
+      Similarity.pqEncode(corpus, "vec_id", "embedding", cb, "match_id")
+        .write.mode("overwrite").parquet(s"$work/pq.parquet")
+      spark.read.parquet(s"$work/pq.parquet")
+    }
+    // on-disk compression: codes-only artifact vs the raw embedding table
+    // (what an ADC-only scan reads vs what brute force reads)
+    encTable.select("match_id", "codes")
+      .write.mode("overwrite").parquet(s"$work/pq_codes.parquet")
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.startsWith("part-")).map(_.length()).sum
+    }
+    val pqCompression =
+      dirBytes(s"$work/embeddings.parquet").toDouble / dirBytes(s"$work/pq_codes.parquet")
+
+    def searchPq(rr: Int, tag: String): (org.apache.spark.sql.DataFrame, Double, Double, Double) =
+      bestOf(tag) {
+        val out = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+          m = pqM, nCodes = pqCodes, k = k, rerank = rr,
+          codebook = Some(cb), encTable = Some(encTable))
+          .localCheckpoint(true)
+        out.count()
+        out
+      }
+    val (pqAdc, pqAdcSec, pqAdcStraggler, loadPqAdc) = searchPq(0, "pq_adc")
+    val (pqRr, pqRerankSec, pqRerankStraggler, loadPqRerank) = searchPq(20 * k, "pq_rerank")
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "match_id")
+        .intersect(exact.select("query_id", "match_id")).count().toDouble / nExact
+    val pqAdcRecall = recallOf(pqAdc)
+    val pqRerankRecall = recallOf(pqRr)
+
     println(s"""{"metric":"scale_ann","copies":$copies,"vectors":$nVecs,"n_lists":$nLists,""" +
       s""""queries":$nQueries,"k":$k,"train_sec":$trainSec,"build_sec":$buildSec,""" +
       s""""ivf1_sec":$ivf1Sec,"ivf8_sec":$ivf8Sec,"brute_sec":$bruteSec,""" +
       s""""recall8":$recall8,"list_skew":$listSkew,""" +
+      s""""pq_m":$pqM,"pq_codes":$pqCodes,"pq_encode_sec":$pqEncodeSec,""" +
+      s""""pq_adc_sec":$pqAdcSec,"pq_rerank_sec":$pqRerankSec,""" +
+      s""""pq_compression":$pqCompression,""" +
+      s""""pq_adc_recall":$pqAdcRecall,"pq_rerank_recall":$pqRerankRecall,""" +
       s""""stragglers":{"train":$trainStraggler,"build":$buildStraggler,"ivf1":$ivf1Straggler,""" +
-      s""""ivf8":$ivf8Straggler,"brute":$bruteStraggler},""" +
+      s""""ivf8":$ivf8Straggler,"brute":$bruteStraggler,"pq_encode":$pqEncodeStraggler,""" +
+      s""""pq_adc":$pqAdcStraggler,"pq_rerank":$pqRerankStraggler},""" +
       s""""loads":{"train":$loadTrain,"build":$loadBuild,"ivf1":$loadIvf1,""" +
-      s""""ivf8":$loadIvf8,"brute":$loadBrute}}""")
+      s""""ivf8":$loadIvf8,"brute":$loadBrute,"pq_encode":$loadEnc,""" +
+      s""""pq_adc":$loadPqAdc,"pq_rerank":$loadPqRerank}}""")
     spark.stop()
   }
 }

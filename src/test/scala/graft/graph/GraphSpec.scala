@@ -91,6 +91,24 @@ class GraphSpec extends AnyFunSuite {
     assert(lines(1) === "1,2,\"dep\"")
   }
 
+  test("PageRank: star center dominates, symmetric spokes tie, cycle is uniform, mass bounded") {
+    def ranks(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Analytics.pageRank(edges.toDF("src", "dst"), iters = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // star 1,2,3 -> 0: the sink out-ranks the spokes, spokes identical
+    val star = ranks(Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    assert(star(0L) > star(1L))
+    assert(star(1L) === star(2L) && star(2L) === star(3L))
+    // 2-cycle: symmetric, equal ranks; nothing dangles so mass holds to
+    // within the per-round floor rounding (10 rounds x 2 nodes x 2 floors)
+    val cyc = ranks(Seq((0L, 1L), (1L, 0L)))
+    assert(cyc(0L) === cyc(1L))
+    assert(math.abs(cyc.values.sum - 1000000000L) < 100L)
+    // dangling sink (node 0 has no out-edges): its unredistributed mass
+    // leaks, so total mass is strictly below 1.0 — the documented semantics
+    assert(star.values.sum < 1000000000L)
+  }
+
   test("RedisGraph CSV multi-file write: the header leads EVERY part file") {
     val nodes = (1 to 40).map(i => (i.toLong, s"n$i")).toDF("node_id", "name").repartition(4)
     val dir = Files.createTempDirectory("rg").toString + "/multi"

@@ -86,7 +86,8 @@ def run_one(main):
 PRIMARY = {
     "scale_dedup": lambda r: r["pairs_sec"],
     "scale_joins": lambda r: r["asof_sec"] + r["range_sec"],
-    "scale_ann": lambda r: r["brute_sec"] + r["ivf8_sec"],
+    "scale_ann": lambda r: (r["brute_sec"] + r["ivf8_sec"] + r.get("pq_encode_sec", 0.0)
+                            + r.get("pq_adc_sec", 0.0) + r.get("pq_rerank_sec", 0.0)),
     "scale_zorder": lambda r: r["zorder"]["scan_sec"] + r["zorder"]["scan_user_sec"],
     "scale_buckets": lambda r: r["bucket_join_sec"] + r["plain_join_sec"],
     "scale_stream": lambda r: (r["windowed"]["drain_sec"] + r["sessions"]["drain_sec"]
@@ -139,6 +140,16 @@ def table(merged):
         ("Brute-force exact top-k", "same batch",
          f"{a['brute_sec']:.1f}s", f"{a['stragglers']['brute']:.2f}"),
     ]
+    if "pq_adc_sec" in a:
+        rows += [
+            ("PQ encode (one-time, 8x8-dim codes)", "same corpus, amortized per snapshot",
+             f"{a['pq_encode_sec']:.1f}s (codes {a['pq_compression']:.1f}x smaller on disk)",
+             f"{a['stragglers']['pq_encode']:.2f}"),
+            ("PQ search: pure ADC / +exact re-rank", "same batch",
+             f"{a['pq_adc_sec']:.1f}s / {a['pq_rerank_sec']:.1f}s "
+             f"(recall {a['pq_adc_recall']:.2f} / {a['pq_rerank_recall']:.2f})",
+             f"{max(a['stragglers']['pq_adc'], a['stragglers']['pq_rerank']):.2f}"),
+        ]
     if "scale_zorder" in merged:
         z = merged["scale_zorder"]
         zo, pl = z["zorder"], z["plain"]
