@@ -192,13 +192,31 @@ object Bench {
       // truncates the bulky sections above — persist the complete line as a
       // repo file so per-query triples stay auditable (and diffable) without
       // re-running anything. tools/bench_table.py renders the README table
-      // from this file.
+      // from this file. Narrowing guard (round-10 postmortem: a 1-query
+      // investigation run clobbered the 93-query record): BENCH_FULL.json
+      // only accepts runs covering at least as many queries as it already
+      // holds; subset runs land in BENCH_PARTIAL.json instead.
       try {
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        val full = java.nio.file.Paths.get("BENCH_FULL.json")
+        val priorN =
+          if (java.nio.file.Files.exists(full))
+            """"n_queries":(\d+)""".r
+              .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(full),
+                java.nio.charset.StandardCharsets.UTF_8))
+              .map(_.group(1).toInt).getOrElse(0)
+          else 0
+        val target =
+          if (best.size >= priorN) full
+          else {
+            System.err.println(s"[bench] run covers ${best.size} < $priorN queries; " +
+              "writing BENCH_PARTIAL.json (BENCH_FULL.json untouched)")
+            java.nio.file.Paths.get("BENCH_PARTIAL.json")
+          }
+        java.nio.file.Files.write(target,
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         ()
       } catch {
-        case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+        case e: Throwable => System.err.println(s"[bench] bench artifact write failed: ${e.getMessage}")
       }
     }
 

@@ -109,6 +109,25 @@ class GraphSpec extends AnyFunSuite {
     assert(star.values.sum < 1000000000L)
   }
 
+  test("Triangle count: K4, hub wedges, direction/duplicate/self-loop invariance") {
+    def tri(edges: Seq[(Long, Long)]): Long =
+      Analytics.triangleCount(edges.toDF("src", "dst")).collect().head.getLong(0)
+    // K4 has exactly C(4,3) = 4 triangles
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(tri(k4) === 4L)
+    // a star (hub 0 -> 1..5) has wedges but no closing edge: zero triangles
+    assert(tri((1L to 5L).map(i => (0L, i))) === 0L)
+    // close one spoke pair: exactly one triangle
+    assert(tri((1L to 5L).map(i => (0L, i)) :+ (2L, 3L)) === 1L)
+    // reversed duplicates, repeated rows, and self-loops must not change the
+    // count (the operator canonicalizes to undirected distinct edges)
+    val noisy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L),
+      (0L, 2L), (2L, 2L), (1L, 1L))
+    assert(tri(noisy) === 1L)
+    // two triangles sharing an edge
+    assert(tri(Seq((0L, 1L), (1L, 2L), (0L, 2L), (1L, 3L), (2L, 3L))) === 2L)
+  }
+
   test("RedisGraph CSV multi-file write: the header leads EVERY part file") {
     val nodes = (1 to 40).map(i => (i.toLong, s"n$i")).toDF("node_id", "name").repartition(4)
     val dir = Files.createTempDirectory("rg").toString + "/multi"
