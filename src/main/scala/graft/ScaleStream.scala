@@ -135,6 +135,7 @@ object ScaleStream {
     // clock varies, so min is the clean-window estimator. phase_loads keeps
     // the load of the sample that WON.
     val phaseSamples = sys.env.get("SCALE_PHASE_SAMPLES").map(_.toInt).getOrElse(2)
+    require(phaseSamples >= 1, s"SCALE_PHASE_SAMPLES must be >= 1, got $phaseSamples")
     def drain(name: String, out: => DataFrame, mode: String): (Double, StreamingQuery, Long) = {
       val runs = (1 to phaseSamples).map { _ => drainOnce(name, out, mode) }
       require(runs.map(_._3).distinct.size == 1,

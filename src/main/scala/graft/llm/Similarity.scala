@@ -230,6 +230,26 @@ object Similarity {
       .select(col(outId), col("list_id"), col("v"), col("vn"))
   }
 
+  /** Query-side probe assignment: the `p` nearest inverted lists per query
+    * row (cosine to the seed centroids, ties → smallest list id). The query
+    * set is small by contract, so the seed cross + window is cheap; p == 1
+    * takes the same narrow argmax as the corpus side. Output one row per
+    * (query, probed list): (outId, list_id, v, vn). */
+  private def probeAssign(df: DataFrame, idCol: String, embCol: String,
+                          seeds: DataFrame, outId: String, p: Int): DataFrame =
+    if (p == 1) assignToLists(df, idCol, embCol, seeds, outId)
+    else {
+      val withNorm = seeds.withColumn("sn", qdot(col("sv"), col("sv")))
+      val scored = df.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
+        .withColumn("vn", qdot(col("v"), col("v")))
+        .crossJoin(broadcast(withNorm))
+        .select(col(outId), col("v"), col("vn"), col("list_id").cast("long").as("list_id"),
+          normedCos(qdot(col("v"), col("sv")), col("vn"), col("sn")).as("c"))
+      graft.ops.DistinctOn.topK(
+        scored, Seq(col(outId)), Seq(col("c").desc, col("list_id").asc), p)
+        .select(col(outId), col("list_id"), col("v"), col("vn"))
+    }
+
   /** IVF-style ANN: a coarse quantizer (the first `nLists` vectors as
     * deterministic seed centroids, Lloyd-refined for `trainIters` rounds via
     * [[kmeansSeeds]] when `trainIters` > 0) partitions the corpus into
@@ -256,25 +276,8 @@ object Similarity {
         .select(col(idCol).as("list_id"), quantize(col(embCol)).as("sv"))
     }
 
-    // query-side probe assignment: top-nProbe lists per query. The query set
-    // is small by contract, so the seed cross + window is cheap; nProbe == 1
-    // takes the same narrow argmax as the corpus side.
-    def probeAssign(df: DataFrame, outId: String, p: Int): DataFrame =
-      if (p == 1) assignToLists(df, idCol, embCol, seeds, outId)
-      else {
-        val withNorm = seeds.withColumn("sn", qdot(col("sv"), col("sv")))
-        val scored = df.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
-          .withColumn("vn", qdot(col("v"), col("v")))
-          .crossJoin(broadcast(withNorm))
-          .select(col(outId), col("v"), col("vn"), col("list_id").cast("long").as("list_id"),
-            normedCos(qdot(col("v"), col("sv")), col("vn"), col("sn")).as("c"))
-        graft.ops.DistinctOn.topK(
-          scored, Seq(col(outId)), Seq(col("c").desc, col("list_id").asc), p)
-          .select(col(outId), col("list_id"), col("v"), col("vn"))
-      }
-
     val lists = listTable.getOrElse(assignToLists(corpus, idCol, embCol, seeds, "match_id"))
-    val probes = probeAssign(queries, "query_id", nProbe)
+    val probes = probeAssign(queries, idCol, embCol, seeds, "query_id", nProbe)
     // broadcast the probe side: the query batch is small by contract, and a
     // shuffle join would repartition the corpus by list_id — nLists distinct
     // keys over more partitions is skewed by construction (the residual
@@ -346,7 +349,15 @@ object Similarity {
     * scores, ties to the smallest code, zero shuffle, zero joins. Keeps the
     * exact vector (`v`, `vn`) alongside for the optional re-rank. */
   def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
-               cb: Array[Array[Array[Long]]], outId: String): DataFrame = {
+               cb: Array[Array[Array[Long]]], outId: String): DataFrame =
+    corpus.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
+      .withColumn("vn", qdot(col("v"), col("v")))
+      .withColumn("codes", pqCodesExpr(cb))
+
+  /** The m PQ code assignments as ONE literal-codebook array expression over
+    * a quantized vector column `v` — the narrow argmax idiom shared by
+    * [[pqEncode]] and [[ivfPqTopK]]'s list-table encoder. */
+  private def pqCodesExpr(cb: Array[Array[Array[Long]]]): Column = {
     val m = cb.length
     val sub = cb.head.head.length
     val codeExprs = (0 until m).map { j =>
@@ -357,9 +368,7 @@ object Similarity {
       }
       (-array_max(array(scored.toIndexedSeq: _*)).getField("nc")).cast("int")
     }
-    corpus.select(col(idCol).as(outId), quantize(col(embCol)).as("v"))
-      .withColumn("vn", qdot(col("v"), col("v")))
-      .withColumn("codes", array(codeExprs: _*))
+    array(codeExprs: _*)
   }
 
   /** PQ ANN top-k by integer ADC score. Each query row computes its m ×
@@ -378,22 +387,15 @@ object Similarity {
              codebook: Option[Array[Array[Array[Long]]]] = None,
              encTable: Option[DataFrame] = None): DataFrame = {
     val cb = codebook.getOrElse(pqCodebook(corpus, idCol, embCol, m, nCodes, seedWhere))
-    val sub = cb.head.head.length
     // `encTable`: a materialized [[pqEncode]] result (outId = "match_id") —
     // the once-per-snapshot index artifact, amortized across query batches
     // (same contract as ivfTopK's listTable)
     val enc = encTable.getOrElse(pqEncode(corpus, idCol, embCol, cb, "match_id"))
       .withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn")
-    val lut = array((0 until m).map { j =>
-      val qj = slice(col("qv"), j * sub + 1, sub)
-      array(cb(j).indices.map(c => qdot(qj, typedLit(cb(j)(c).toSeq))): _*)
-    }: _*)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"))
       .withColumn("qn", qdot(col("qv"), col("qv")))
-      .withColumn("lut", lut)
-    val adcCol = (0 until m)
-      .map(j => element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
+      .withColumn("lut", pqLutExpr(cb))
+    val adcCol = pqAdcExpr(m)
     // The scan is NARROW on both paths: only (query_id, lut) × (match_id,
     // codes) flow through the 10^8-pair scoring loop and its top-k window —
     // column pruning keeps the full-precision vectors out of the hot loop
@@ -417,6 +419,103 @@ object Similarity {
       val exact = broadcast(short)
         .join(enc.select(col("match_id"), col("cv"), col("cn")), Seq("match_id"))
         .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+        .select(col("query_id"), col("match_id"),
+          normedCos(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
+      graft.ops.DistinctOn.topK(exact, Seq(col("query_id")),
+        Seq(col("cos").desc, col("match_id").asc), k)
+    }
+  }
+
+  /** The per-query ADC lookup table over a quantized query column `qv`:
+    * lut[j][c] = q_j · cb(j)(c), an m × nCodes array of BIGINT sub-dots
+    * computed ONCE per query row (literal codebook — narrow, no join). */
+  private def pqLutExpr(cb: Array[Array[Array[Long]]]): Column = {
+    val sub = cb.head.head.length
+    array(cb.indices.map { j =>
+      val qj = slice(col("qv"), j * sub + 1, sub)
+      array(cb(j).indices.map(c => qdot(qj, typedLit(cb(j)(c).toSeq))): _*)
+    }: _*)
+  }
+
+  /** ADC score of a candidate: m `element_at` lookups into `lut` indexed by
+    * the candidate's `codes`, summed — ≈ q·x as an exact BIGINT. */
+  private def pqAdcExpr(m: Int): Column =
+    (0 until m)
+      .map(j => element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+
+  /** The two-level IVF×PQ index in ONE narrow corpus pass: list assignment
+    * ([[assignToLists]]) plus PQ codes per vector. Schema (outId, list_id,
+    * v, vn, codes) — materialize once per corpus snapshot and hand to
+    * [[ivfPqTopK]] as `encTable` to amortize across query batches. */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, embCol: String,
+                  seeds: DataFrame, cb: Array[Array[Array[Long]]],
+                  outId: String): DataFrame =
+    assignToLists(corpus, idCol, embCol, seeds, outId)
+      .withColumn("codes", pqCodesExpr(cb))
+
+  /** Composed IVF×PQ ANN — the standard two-level index (FAISS IndexIVFPQ
+    * shape, without residual encoding so every stage stays integer-exact and
+    * oracle-verifiable): the IVF coarse quantizer restricts the scan to each
+    * query's `nProbe` nearest inverted lists, and within those lists
+    * candidates are scored by PQ ADC lookups instead of full d-dim dots.
+    * Versus flat-ADC [[pqTopK]] this divides the scored candidate set by
+    * ~nLists/nProbe — the round-10 scale record showed flat ADC losing to
+    * brute force at 500 k vectors precisely because it scanned every code;
+    * list pruning is what makes PQ pay at scale. Dataflow: one corpus pass
+    * builds (list_id, codes) per vector (amortizable via `encTable`); the
+    * probe side broadcasts (queries ≪ corpus), joins on list_id so the
+    * corpus stays in natural partitioning, and each candidate costs m table
+    * lookups. `rerank` > 0 re-scores the top-`rerank` ADC short-list with
+    * exact cosine over the stored full-precision vectors (output (query_id,
+    * match_id, cos)); `rerank` = 0 returns the integer ADC ranking.
+    *
+    * `encTable`: a materialized `assignToLists(...).withColumn("codes", …)`
+    * snapshot — schema (match_id, list_id, v, vn, codes) — letting a caller
+    * build the two-level index ONCE per corpus snapshot and amortize it
+    * across query batches (same lifecycle contract as [[ivfTopK]]'s
+    * `listTable` / [[pqTopK]]'s `encTable`). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+                nLists: Int, m: Int, nCodes: Int, k: Int, nProbe: Int = 1,
+                rerank: Int = 0, trainIters: Int = 0,
+                seedTable: Option[DataFrame] = None,
+                codebook: Option[Array[Array[Array[Long]]]] = None,
+                encTable: Option[DataFrame] = None): DataFrame = {
+    val seeds = seedTable.getOrElse {
+      if (trainIters > 0) kmeansSeeds(corpus, idCol, embCol, nLists, trainIters)
+      else corpus.filter(col(idCol) < nLists)
+        .select(col(idCol).as("list_id"), quantize(col(embCol)).as("sv"))
+    }
+    val cb = codebook.getOrElse(pqCodebook(corpus, idCol, embCol, m, nCodes))
+    val enc = encTable.getOrElse(ivfPqEncode(corpus, idCol, embCol, seeds, cb, "match_id"))
+      .withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn")
+    // one row per (query, probed list), each carrying the query's ADC LUT
+    val probes = probeAssign(queries, idCol, embCol, seeds, "query_id", nProbe)
+      .withColumnRenamed("v", "qv").withColumnRenamed("vn", "qn")
+      .withColumn("lut", pqLutExpr(cb))
+    // equi-join on list_id = the IVF pruning: only probed lists are ADC-
+    // scored. A corpus vector lives in exactly ONE list and probes are
+    // distinct per query, so each (query, match) pair arises at most once.
+    val scored = broadcast(probes.select("query_id", "list_id", "lut"))
+      .join(enc.select("match_id", "list_id", "codes"), Seq("list_id"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"), pqAdcExpr(m).cast("long").as("adc"))
+    if (rerank <= 0)
+      graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+        Seq(col("adc").desc, col("match_id").asc), k)
+    else {
+      val short = graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+        Seq(col("adc").desc, col("match_id").asc), rerank)
+        .select("query_id", "match_id")
+      // full-precision vectors joined back BY ID for the short-list only;
+      // repartition by query so the final exact top-k window is spread
+      // evenly instead of inheriting the probed lists' partitioning (the
+      // round-10 flat-PQ re-rank straggler, 2.43×)
+      val q = probes.dropDuplicates("query_id").select("query_id", "qv", "qn")
+      val exact = broadcast(short)
+        .join(enc.select(col("match_id"), col("cv"), col("cn")), Seq("match_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .repartition(col("query_id"))
         .select(col("query_id"), col("match_id"),
           normedCos(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
       graft.ops.DistinctOn.topK(exact, Seq(col("query_id")),

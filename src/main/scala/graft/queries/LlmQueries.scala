@@ -308,6 +308,15 @@ object LlmQueries {
         m = 8, nCodes = 16, k = 5, rerank = 50)
     }),
 
+    // Composed IVF×PQ (the FAISS IndexIVFPQ shape): 16 inverted lists prune
+    // the scan to each query's 4 nearest lists, PQ ADC scores the survivors,
+    // exact cosine re-ranks the top-50 short-list to top-5
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nLists = 16, m = 8, nCodes = 16, k = 5, nProbe = 4, rerank = 50)
+    }),
+
     // token counting: whitespace + BPE-ish regex subword count
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -793,6 +802,61 @@ object LlmQueries {
          |  FROM sl s JOIN v q ON q.vec_id = s.query_id
          |    JOIN v c ON c.vec_id = s.match_id) z
          |WHERE rn <= 5""".stripMargin, extraCte = true),
+
+    // IVF pruning + PQ ADC + exact re-rank: the probes/assigned CTEs are
+    // q_ann_ivf_multiprobe's, the cb/enc CTEs are sqlPqAdc's — composed so
+    // only vectors in probed lists are ADC-scored
+    "q_ann_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
+         |seeds AS (SELECT vec_id AS list_id, qv AS sv FROM v WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT x.vec_id, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM v x CROSS JOIN seeds s) a
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM v x CROSS JOIN seeds s WHERE x.vec_id < 10) a
+         |  WHERE rn <= 4),
+         |cb AS (
+         |  SELECT s.vec_id AS code, t.j AS j,
+         |    list_slice(s.qv, t.j * 8 + 1, t.j * 8 + 8) AS cv
+         |  FROM v s, UNNEST(generate_series(0, 7)) AS t(j)
+         |  WHERE s.vec_id < 16),
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT x.vec_id, cb.j, cb.code,
+         |      row_number() OVER (PARTITION BY x.vec_id, cb.j
+         |        ORDER BY 2 * ${sqlQdotInt("list_slice(x.qv, cb.j * 8 + 1, cb.j * 8 + 8)", "cb.cv")}
+         |          - ${sqlQdotInt("cb.cv", "cb.cv")} DESC, cb.code) AS rn
+         |    FROM v x CROSS JOIN cb) a
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT p.query_id, a.vec_id AS match_id,
+         |    CAST(SUM(${sqlQdotInt("list_slice(p.qv, c.j * 8 + 1, c.j * 8 + 8)", "c.cv")}) AS BIGINT) AS adc
+         |  FROM probes p
+         |  JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN cb c ON c.j = e.j AND c.code = e.code
+         |  GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT query_id, match_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, match_id) AS rn
+         |    FROM adc) z
+         |  WHERE rn <= 50)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT s.query_id, s.match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, s.match_id) AS rn
+         |  FROM sl s JOIN v q ON q.vec_id = s.query_id
+         |    JOIN v c ON c.vec_id = s.match_id) z
+         |WHERE rn <= 5""".stripMargin,
 
     "q_ann_ivf_multiprobe" ->
       s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),

@@ -62,7 +62,15 @@ object Streams {
     // strictly increasing, 2s apart (comfortably above any FS mtime
     // granularity), all in the past so new arrivals sort after the backlog
     val base = System.currentTimeMillis() - (parts.length + 1) * 2000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    parts.zipWithIndex.foreach { case (f, i) =>
+      // the stamp IS the ordering guarantee — a filesystem that rejects
+      // mtime updates silently replays in arbitrary order (the exact
+      // watermark-drop failure this function exists to prevent), so fail
+      // loudly instead of returning a directory that looks ordered
+      require(f.setLastModified(base + i * 2000L),
+        s"writeTimeOrderedFeed: filesystem rejected mtime stamp on ${f.getName} — " +
+          "feed order cannot be guaranteed on this filesystem")
+    }
     parts.length
   }
 

@@ -236,6 +236,37 @@ class LlmSpec extends AnyFunSuite {
     top.foreach { case (q, m) => assert(m % 3 === q % 3, s"query $q top ADC match $m off-cluster") }
   }
 
+  test("IVF×PQ: full-probe full-shortlist equals brute force; probe-1 scans own list only") {
+    // same 3-axis-cluster corpus as the flat-PQ test
+    val data = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.fill(4)(0.05f * ((i * 7 + 3) % 5))
+      base(c) = 1.0f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = data.filter(col("vec_id") < 3)
+    // nProbe = nLists and shortlist >= corpus: nothing is pruned, so the
+    // composed index must reproduce brute force bit-for-bit
+    val full = Similarity.ivfPqTopK(data, queries, "vec_id", "embedding",
+      nLists = 4, m = 2, nCodes = 4, k = 5, nProbe = 4, rerank = 24)
+      .select("query_id", "match_id", "cos").as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(data, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "match_id", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(full === brute)
+    // probe-1 ADC: candidates come only from the query's own inverted list
+    val seeds = data.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("list_id"), Similarity.quantize(col("embedding")).as("sv"))
+    val lists = Similarity.assignToLists(data, "vec_id", "embedding", seeds, "id")
+      .select(col("id"), col("list_id")).as[(Long, Long)].collect().toMap
+    val p1 = Similarity.ivfPqTopK(data, queries, "vec_id", "embedding",
+      nLists = 4, m = 2, nCodes = 4, k = 5)
+      .select("query_id", "match_id", "adc").as[(Long, Long, Long)].collect()
+    assert(p1.nonEmpty)
+    p1.foreach { case (q, m, _) =>
+      assert(lists(m) === lists(q), s"probe-1 match $m outside query $q's list")
+    }
+  }
+
   test("sign-bucket LSH co-buckets aligned vectors and separates opposites") {
     val b = vecs.select(col("vec_id"), Similarity.signBucket(col("embedding"), 3).as("bk"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
