@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{AffineGapSimilarity, FreqSketch, KmvMinHashes, LongDotProduct, TopK}
+import graft.expr.{AffineGapSimilarity, FreqSketch, KmvMinHashes, LongDotProduct, SortedIntersectCount, TopK}
 
 /** Session extensions registering the engine's native expressions for SQL use
   * and the custom planner strategies (the as-of join physical operator).
@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "qdot_long takes exactly 2 arguments")
         LongDotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, null, "sorted_intersect_count",
+        "_FUNC_(a, b) - |a ∩ b| of two sorted distinct array<bigint> columns (two-pointer merge).", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("kmv_minhashes"),
