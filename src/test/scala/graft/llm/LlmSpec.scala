@@ -92,6 +92,46 @@ class LlmSpec extends AnyFunSuite {
     assert(newSig.columns.toSeq === idxSig.columns.toSeq)
   }
 
+  test("incremental rewrite: a better keeper arriving in the batch replaces the cached survivor") {
+    // v1 corpus survives its own rewrite untouched (no near-dups), then the
+    // batch brings a HIGHER-QUALITY near-dup of a cached doc — keep-best
+    // over cache ∪ batch must crown the batch doc and excise the cached one
+    val pad = "and the story continues with more of the detail in the longer richer version"
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val cached = Seq(
+      (1L, a),
+      (2L, "completely different content about spark engines and distributed joins")
+    ).toDF("doc_id", "text")
+    val batch = Seq((10L, s"$a $pad $pad")).toDF("doc_id", "text")
+    // self-checking fixture: the batch doc really does score higher
+    val q = (cached.unionByName(batch))
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(10L) > q(1L), s"fixture: batch doc must out-score the cached keeper ($q)")
+
+    val idxSets = Dedup.shingleSets(cached, "text", "doc_id", 5)
+    val idxSig = Dedup.minhashSignatures(idxSets, "doc_id", 8)
+    val (pairs, _, _) = Dedup.incrementalNearDups(
+      batch, "text", "doc_id", idxSets, idxSig,
+      k = 5, numHashes = 8, bands = 4, threshold = 0.4)
+    assert(TestSpark.rows(pairs.select("a", "b")).map(_.take(2)) === Set(Seq(1L, 10L)))
+
+    // keep-best over the union, then the anti-join excision (the same chain
+    // as q_dedup_rewrite, against the merged corpus)
+    val all = cached.unionByName(batch)
+    val clusters = graft.er.ConnectedComponents.clusterMapping(pairs.select("a", "b"))
+      .select(col("messy_id").as("doc_id"), col("cluster_id"))
+    val scored = clusters.join(
+      all.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id").asc)
+    val losers = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1).select("doc_id")
+    val corpusOut = all.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusOut === Set(2L, 10L), "cached loser must be excised, batch keeper retained")
+  }
+
   test("verified jaccard is exact set arithmetic") {
     val sh = Dedup.shingles(corpus, "text", "doc_id", 5)
     val cand = Seq((1L, 4L)).toDF("a", "b")
@@ -436,5 +476,24 @@ class LlmSpec extends AnyFunSuite {
     assert(decode(bytes("89504E470D0A1A0A 0000")) === None) // truncated PNG
     assert(decode(bytes("FFD8 FFC0 0001")) === None) // corrupt JPEG length
     assert(decode(bytes("FFD8 FFDA 0004 0000")) === None) // JPEG with no SOF
+    assert(decode(bytes("474946383961 40")) === None) // GIF cut mid-dimension
+    assert(decode(bytes("424D 0000")) === None) // BMP cut before header size
+    assert(decode(bytes("FFD8 FFC0 000B 08 01E0")) === None) // SOF length beyond data
+  }
+
+  test("header decoder never throws on arbitrary bytes (fuzz with magic prefixes)") {
+    import Multimodal.HeaderDecoder.decode
+    val magics = Seq(
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+      "GIF89a".getBytes("US-ASCII"), "GIF87a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"),
+      Array(0xFF, 0xD8).map(_.toByte),
+      Array.empty[Byte])
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val tail = Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)
+      val b = magics(rnd.nextInt(magics.length)) ++ tail
+      decode(b) // promise under test: total function, Option out, no throw
+    }
   }
 }
