@@ -226,4 +226,36 @@ object TextAnalysis {
         .filter(col("n_shared") >= minHits)
     }
   }
+
+  /** Corpus document-frequency quality signal (the CCNet/Gopher-style "LM
+    * proxy" filter family, integer-exact instead of a perplexity model):
+    * score every document by the corpus document frequency of its DISTINCT
+    * tokens. Gibberish and OCR noise are rare-token-heavy (low df mass);
+    * boilerplate and navigation chrome are common-token-heavy (high df
+    * mass) — both tails are what a training-data pipeline trims. Output per
+    * doc: (id, n_distinct_tokens, sum_df, avg_df) with the counts exact
+    * BIGINTs and avg_df one IEEE double division, so the whole signal is
+    * oracle-verifiable.
+    *
+    * Scale shape: one narrow explode of per-doc-distinct tokens, ONE
+    * map-side-combinable aggregate for the df table (vocabulary-sized, ≪
+    * postings), an equi-join on the token string (each posting matches
+    * exactly one df row — no fan-out, stop-token skew cannot amplify), and
+    * one per-doc aggregate. Two shuffles + a join keyed by token — the df
+    * table broadcasts when the vocabulary is small. */
+  def docFrequencyScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val postings = df.repartition(n, col(idCol))
+      .select(col(idCol),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+    val dfTable = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    postings.join(dfTable, "tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        sum("df").as("sum_df"))
+      .withColumn("avg_df",
+        col("sum_df").cast("double") / col("n_distinct_tokens").cast("double"))
+  }
 }

@@ -324,6 +324,12 @@ object LlmQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
 
+    // corpus document-frequency quality signal: per-doc distinct-token df
+    // mass (both tails — rare-token gibberish and common-token boilerplate —
+    // are the filter targets)
+    "q_text_docfreq" -> ((s, dir) =>
+      TextAnalysis.docFrequencyScore(t(s, dir, "documents"), "text", "doc_id")),
+
     // quality scoring (length / word-shape / stopword-ratio mix)
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -887,6 +893,20 @@ object LlmQueries {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q_text_docfreq" ->
+      """WITH postings AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |    FROM documents) p
+        |  WHERE tok <> ''),
+        |dft AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok)
+        |SELECT p.doc_id,
+        |  count(*) AS n_distinct_tokens,
+        |  CAST(sum(d.df) AS BIGINT) AS sum_df,
+        |  CAST(sum(d.df) AS DOUBLE) / count(*) AS avg_df
+        |FROM postings p JOIN dft d USING (tok)
+        |GROUP BY p.doc_id""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,

@@ -314,6 +314,29 @@ class LlmSpec extends AnyFunSuite {
     assert(b(0L) !== b(3L))
   }
 
+  test("docFrequencyScore: exact df mass over distinct tokens, repeated tokens counted once") {
+    val docs = Seq(
+      (1L, "the cat sat"),          // the:3 cat:2 sat:1 -> sum 6, n 3
+      (2L, "the cat ran ran"),      // repeated 'ran' counts once: the:3 cat:2 ran:1 -> sum 6, n 3
+      (3L, "the zzz")               // the:3 zzz:1 -> sum 4, n 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.docFrequencyScore(docs, "text", "doc_id")
+      .select("doc_id", "n_distinct_tokens", "sum_df", "avg_df")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 6L, 2.0)))
+    assert(out(2L) === ((3L, 6L, 2.0)))
+    assert(out(3L) === ((2L, 4L, 2.0)))
+    // boilerplate (all common tokens) out-scores gibberish (all rare) —
+    // the two-tail filter signal
+    val mixed = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "alpha beta gamma"),
+      (4L, "qxz jkw vbn")
+    ).toDF("doc_id", "text")
+    val avg = TextAnalysis.docFrequencyScore(mixed, "text", "doc_id")
+      .select("doc_id", "avg_df").as[(Long, Double)].collect().toMap
+    assert(avg(1L) === 3.0 && avg(4L) === 1.0)
+  }
+
   test("quality score is bounded and orders richer docs higher") {
     val df = Seq(
       (1L, "the cat is on the mat and the dog is in the house of the man"),
