@@ -246,8 +246,13 @@ object ScaleAnn {
         out.count()
         out
       }
+    // ADC short-list depth for the exact re-rank: recall is capped by how
+    // many candidates survive to the exact stage (composed and flat PQ
+    // score identically here — the IVF pruning is lossless), so this is
+    // THE recall/cost knob of two-stage PQ search
+    val pqRerankN = sys.env.getOrElse("SCALE_PQ_RERANK", (20 * k).toString).toInt
     val (pqAdc, pqAdcSec, pqAdcStraggler, loadPqAdc) = searchPq(0, "pq_adc")
-    val (pqRr, pqRerankSec, pqRerankStraggler, loadPqRerank) = searchPq(20 * k, "pq_rerank")
+    val (pqRr, pqRerankSec, pqRerankStraggler, loadPqRerank) = searchPq(pqRerankN, "pq_rerank")
 
     // --- composed IVF×PQ (the round-10 fix: flat ADC scanned every code and
     // lost to brute force; list pruning restricts the ADC scan to each
@@ -261,7 +266,7 @@ object ScaleAnn {
     val (pqIvf8, pqIvf8Sec, pqIvf8Straggler, loadPqIvf8) = bestOf("pq_ivf8") {
       val out = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
         nLists = nLists, m = pqM, nCodes = pqCodes, k = k, nProbe = 8,
-        rerank = 20 * k, seedTable = Some(seeds), codebook = Some(cb),
+        rerank = pqRerankN, seedTable = Some(seeds), codebook = Some(cb),
         encTable = Some(ivfPqEnc))
         .localCheckpoint(true)
       out.count()
@@ -279,7 +284,7 @@ object ScaleAnn {
       s""""queries":$nQueries,"k":$k,"train_sec":$trainSec,"build_sec":$buildSec,""" +
       s""""ivf1_sec":$ivf1Sec,"ivf8_sec":$ivf8Sec,"brute_sec":$bruteSec,""" +
       s""""recall8":$recall8,"list_skew":$listSkew,""" +
-      s""""pq_m":$pqM,"pq_codes":$pqCodes,"pq_encode_sec":$pqEncodeSec,""" +
+      s""""pq_m":$pqM,"pq_codes":$pqCodes,"pq_rerank_n":$pqRerankN,"pq_encode_sec":$pqEncodeSec,""" +
       s""""pq_adc_sec":$pqAdcSec,"pq_rerank_sec":$pqRerankSec,""" +
       s""""pq_compression":$pqCompression,""" +
       s""""pq_adc_recall":$pqAdcRecall,"pq_rerank_recall":$pqRerankRecall,""" +

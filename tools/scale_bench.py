@@ -223,7 +223,8 @@ def main():
             # the input-size parameters (NOT derived measurements like task
             # counts, which vary with AQE).
             INPUT_FIELDS = ("copies", "docs", "events", "users", "vectors",
-                            "n_lists", "queries", "k", "rows", "buckets")
+                            "n_lists", "queries", "k", "rows", "buckets",
+                            "pq_rerank_n")
             def workload(r):
                 return {f: r[f] for f in INPUT_FIELDS if f in r}
             same = old is not None and workload(old) == workload(rec)
