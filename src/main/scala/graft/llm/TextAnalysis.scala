@@ -158,26 +158,48 @@ object TextAnalysis {
     * cannot blow up the join the way a postings self-join would. The only
     * shuffles are the benchmark distinct and the final per-doc count
     * (map-side combinable); a small benchmark set broadcasts. */
+  /** Distinct word-`n`-gram array of a text column. Documents shorter than
+    * n tokens contribute an empty array (sequence(1, 0) would be a
+    * DESCENDING range, not empty, hence the explicit CASE). */
+  private def gramsArray(textCol: String, n: Int) =
+    array_distinct(expr(
+      s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
+        s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
+        "ELSE array() END"))
+
+  /** Benchmark-side gate for the literal-set decontamination path: a
+    * benchmark whose PLANNER-ESTIMATED input is under this collects to the
+    * driver as one gram array literal (decontamination benchmarks are MBs
+    * by nature — the corpus is the big side). */
+  val BenchLiteralMaxBytes: Long = 32L << 20
+
   def contaminationFlags(docs: DataFrame, bench: DataFrame, textCol: String,
                          idCol: String, n: Int, minHits: Int): DataFrame = {
-    // documents shorter than n tokens contribute an empty array — explode
-    // drops the row (sequence(1, 0) would be a DESCENDING range, not empty,
-    // hence the explicit CASE)
-    def gramCol =
-      explode(array_distinct(expr(
-        s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
-          s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
-          "ELSE array() END"))).as("g")
-    val dGrams = docs.select(col(idCol), gramCol)
-    val bGrams = bench.select(gramCol).distinct()
-    // multi-exchange plan (distinct + join + count) over doc-table inputs:
-    // gate like the other small-input candidates (see StaticScope)
-    graft.ops.StaticScope.materialize(docs) {
-      dGrams.join(bGrams, Seq("g"))
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_shared"))
+    if (graft.ops.StaticScope.inputBytes(bench) <= BigInt(BenchLiteralMaxBytes)) {
+      // Small benchmark (the standard case): its distinct gram set collects
+      // to the driver ONCE — the same bounded-small-side contract as the
+      // gazetteer terms and IVF seeds — and n_shared becomes a per-DOC
+      // narrow `array_intersect` against the literal, exact strings, no
+      // join, no shuffle at all (the 5-stage join formulation measured
+      // ~1.7s on 5k docs; this path is one scan).
+      val bset = bench.select(explode(gramsArray(textCol, n)).as("g"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      docs.select(col(idCol),
+          size(array_intersect(gramsArray(textCol, n), typedLit(bset)))
+            .cast("long").as("n_shared"))
         .filter(col("n_shared") >= minHits)
+    } else {
+      // big benchmark: the exact equi-join formulation — each training
+      // posting matches at most one benchmark row, no fan-out
+      val dGrams = docs.select(col(idCol), explode(gramsArray(textCol, n)).as("g"))
+      val bGrams = bench.select(explode(gramsArray(textCol, n)).as("g")).distinct()
+      graft.ops.StaticScope.materialize(docs) {
+        dGrams.join(bGrams, Seq("g"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minHits)
+      }
     }
   }
 
@@ -202,14 +224,9 @@ object TextAnalysis {
   def contaminationFlagsBloom(docs: DataFrame, bench: DataFrame, textCol: String,
                               idCol: String, n: Int, minHits: Int,
                               expectedGrams: Long = 0L): DataFrame = {
-    def gramCol =
-      explode(array_distinct(expr(
-        s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
-          s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
-          "ELSE array() END"))).as("g")
-    val dGrams = docs.select(col(idCol), gramCol)
-    val bGrams = bench.select(gramCol).distinct().localCheckpoint(true)
+    val dGrams = docs.select(col(idCol), explode(gramsArray(textCol, n)).as("g"))
+    val bGrams = bench.select(explode(gramsArray(textCol, n)).as("g"))
+      .distinct().localCheckpoint(true)
     // size the filter to the actual benchmark cardinality (the count is a
     // cheap action on the checkpointed table) — a fixed oversize would ship
     // a megabyte literal to every task for a kilobyte-scale gram set
