@@ -160,48 +160,27 @@ object TextAnalysis {
     * (map-side combinable); a small benchmark set broadcasts. */
   /** Distinct word-`n`-gram array of a text column. Documents shorter than
     * n tokens contribute an empty array (sequence(1, 0) would be a
-    * DESCENDING range, not empty, hence the explicit CASE). */
+    * DESCENDING range, not empty, hence the explicit CASE). Tokenizes ONCE:
+    * binding the split to a lambda variable via a 1-element transform keeps
+    * a single `split` evaluation per row where naming it three times in the
+    * CASE re-ran the tokenizer per mention (measured at sf0.1: 1.39s vs
+    * 0.43s per gram pass, bit-identical output). */
   private def gramsArray(textCol: String, n: Int) =
     array_distinct(expr(
-      s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
-        s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
-        s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
-        "ELSE array() END"))
+      s"element_at(transform(array(split($textCol, ' ')), toks -> " +
+        s"CASE WHEN size(toks) >= $n THEN " +
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n))) " +
+        s"ELSE CAST(array() AS ARRAY<STRING>) END), 1)"))
 
-  /** Benchmark-side gate for the literal-set decontamination path: a
-    * benchmark whose PLANNER-ESTIMATED input is under this collects to the
-    * driver as one gram array literal (decontamination benchmarks are MBs
-    * by nature — the corpus is the big side). */
-  val BenchLiteralMaxBytes: Long = 32L << 20
-
+  /** Decontamination via the Bloom-gated exact equi-join — see
+    * [[contaminationFlagsBloom]] for the dataflow. A driver-side literal
+    * variant (collect the benchmark gram set, `array_intersect` per row) was
+    * measured at 5.4s vs 2.2s for this path at sf0.1 AND collected a gram
+    * set ~n× the benchmark's own bytes to the driver — strictly dominated,
+    * removed. */
   def contaminationFlags(docs: DataFrame, bench: DataFrame, textCol: String,
-                         idCol: String, n: Int, minHits: Int): DataFrame = {
-    if (graft.ops.StaticScope.inputBytes(bench) <= BigInt(BenchLiteralMaxBytes)) {
-      // Small benchmark (the standard case): its distinct gram set collects
-      // to the driver ONCE — the same bounded-small-side contract as the
-      // gazetteer terms and IVF seeds — and n_shared becomes a per-DOC
-      // narrow `array_intersect` against the literal, exact strings, no
-      // join, no shuffle at all (the 5-stage join formulation measured
-      // ~1.7s on 5k docs; this path is one scan).
-      val bset = bench.select(explode(gramsArray(textCol, n)).as("g"))
-        .distinct().collect().map(_.getString(0)).sorted.toSeq
-      docs.select(col(idCol),
-          size(array_intersect(gramsArray(textCol, n), typedLit(bset)))
-            .cast("long").as("n_shared"))
-        .filter(col("n_shared") >= minHits)
-    } else {
-      // big benchmark: the exact equi-join formulation — each training
-      // posting matches at most one benchmark row, no fan-out
-      val dGrams = docs.select(col(idCol), explode(gramsArray(textCol, n)).as("g"))
-      val bGrams = bench.select(explode(gramsArray(textCol, n)).as("g")).distinct()
-      graft.ops.StaticScope.materialize(docs) {
-        dGrams.join(bGrams, Seq("g"))
-          .groupBy(col(idCol))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= minHits)
-      }
-    }
-  }
+                         idCol: String, n: Int, minHits: Int): DataFrame =
+    contaminationFlagsBloom(docs, bench, textCol, idCol, n, minHits)
 
   /** [[contaminationFlags]] with a Bloom-filter gate: the benchmark gram set
     * is compiled into ONE filter binary (Spark's own runtime-filter sketch,
@@ -224,17 +203,28 @@ object TextAnalysis {
   def contaminationFlagsBloom(docs: DataFrame, bench: DataFrame, textCol: String,
                               idCol: String, n: Int, minHits: Int,
                               expectedGrams: Long = 0L): DataFrame = {
+    // minHits = 0 would emit EVERY document (count >= 0 always holds) while
+    // reading as "no filter" — and the removed literal path actually did so
+    // where this join path structurally cannot (unmatched docs never reach
+    // the aggregate). Reject the ambiguity at the API edge.
+    require(minHits >= 1, s"contaminationFlags: minHits must be >= 1, got $minHits")
     val dGrams = docs.select(col(idCol), explode(gramsArray(textCol, n)).as("g"))
-    val bGrams = bench.select(explode(gramsArray(textCol, n)).as("g"))
-      .distinct().localCheckpoint(true)
-    // size the filter to the actual benchmark cardinality (the count is a
-    // cheap action on the checkpointed table) — a fixed oversize would ship
-    // a megabyte literal to every task for a kilobyte-scale gram set
-    val est = if (expectedGrams > 0) expectedGrams
-              else math.max(1024L, 2L * bGrams.count())
-    val bloom = bGrams
-      .agg(call_function("bloom_agg", xxhash64(col("g")), lit(est)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    // benchmark-side prep (distinct gram set + filter binary) is gated on
+    // the BENCH estimate — the side that is small by contract — and every
+    // returned value is materialized inside the scope (checkpointed table,
+    // collected binary), satisfying StaticScope's soundness rule
+    val (bGrams, bloom) = graft.ops.StaticScope.scoped(bench) {
+      val bg = bench.select(explode(gramsArray(textCol, n)).as("g"))
+        .distinct().localCheckpoint(true)
+      // size the filter to the actual benchmark cardinality (the count is a
+      // cheap action on the checkpointed table) — a fixed oversize would ship
+      // a megabyte literal to every task for a kilobyte-scale gram set
+      val est = if (expectedGrams > 0) expectedGrams
+                else math.max(1024L, 2L * bg.count())
+      (bg, bg
+        .agg(call_function("bloom_agg", xxhash64(col("g")), lit(est)).as("bf"))
+        .head.getAs[Array[Byte]](0))
+    }
     val gated = dGrams.filter(call_function("bloom_contains", lit(bloom), xxhash64(col("g"))))
     graft.ops.StaticScope.materialize(docs) {
       gated.join(bGrams, Seq("g"))

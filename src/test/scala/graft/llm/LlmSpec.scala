@@ -385,6 +385,14 @@ class LlmSpec extends AnyFunSuite {
     assert(out === Map(2L -> 3L))
   }
 
+  test("contamination flags reject minHits < 1 (a zero threshold would emit every doc)") {
+    val df = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.contaminationFlags(df, df, "text", "doc_id", n = 3, minHits = 0)
+    }
+    ()
+  }
+
   test("bloom-gated contamination flags equal the ungated operator on random docs") {
     val rnd = new scala.util.Random(31)
     val vocab = (0 until 25).map(i => f"w$i%02d")
