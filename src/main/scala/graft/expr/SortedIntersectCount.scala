@@ -27,15 +27,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  // containsNull must be FALSE: count() reads elements with getLong unguarded,
+  // so a nullable-element array would silently miscount through the public SQL
+  // surface — reject it at analysis time (internal callers all build arrays
+  // from collect_list/typedLit, which are containsNull = false)
   private def isLongArray(t: DataType): Boolean = t match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, false) => true
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (isLongArray(left.dataType) && isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count requires (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+      s"sorted_intersect_count requires (array<bigint>, array<bigint>) with non-null " +
+        s"elements, got (${left.dataType}, ${right.dataType})")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"

@@ -35,6 +35,20 @@ class SortedIntersectCountSpec extends AnyFunSuite {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("rejects nullable-element arrays at analysis time (getLong would miscount)") {
+    // array(col, lit(null)) has containsNull = true: the SQL surface must
+    // refuse it rather than silently read nulls as garbage longs
+    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "a")
+    df.createOrReplaceTempView("sic_null_t")
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT sorted_intersect_count(a, array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT))) FROM sic_null_t")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("sorted_intersect_count"))
+    spark.catalog.dropTempView("sic_null_t")
+  }
+
   test("matches size(array_intersect) on random sorted distinct arrays") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 60L).map { i =>

@@ -126,6 +126,19 @@ class GraphSpec extends AnyFunSuite {
     assert(tri(noisy) === 1L)
     // two triangles sharing an edge
     assert(tri(Seq((0L, 1L), (1L, 2L), (0L, 2L), (1L, 3L), (2L, 3L))) === 2L)
+    // degenerate graphs (self-loops only / nothing survives canonicalization)
+    // must report 0, not NULL — the broadcast path's sum over zero rows used
+    // to return a NULL row where the shuffle path counted 0
+    val selfLoops = Analytics.triangleCount(Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")).collect()
+    assert(selfLoops.length === 1 && !selfLoops.head.isNullAt(0))
+    assert(selfLoops.head.getLong(0) === 0L)
+  }
+
+  test("PageRank rejects iters < 1 (the two strategies disagreed on 0)") {
+    intercept[IllegalArgumentException] {
+      Analytics.pageRank(Seq((0L, 1L)).toDF("src", "dst"), iters = 0)
+    }
+    ()
   }
 
   test("RedisGraph CSV multi-file write: the header leads EVERY part file") {
