@@ -172,6 +172,11 @@ object TextAnalysis {
         s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n))) " +
         s"ELSE CAST(array() AS ARRAY<STRING>) END), 1)"))
 
+  /** Public surface of the gram pass: the distinct word n-gram array shared
+    * by the decontamination family — exposed so harnesses and pipelines can
+    * compose the same tokenization (e.g. the scale proof's posting counts). */
+  def wordGrams(textCol: String, n: Int): Column = gramsArray(textCol, n)
+
   /** Decontamination via the Bloom-gated exact equi-join — see
     * [[contaminationFlagsBloom]] for the dataflow. A driver-side literal
     * variant (collect the benchmark gram set, `array_intersect` per row) was

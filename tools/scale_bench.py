@@ -31,7 +31,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESSES = ["graft.ScaleBench", "graft.ScaleJoins", "graft.ScaleAnn",
-             "graft.ScaleZOrder", "graft.ScaleBuckets", "graft.ScaleStream"]
+             "graft.ScaleZOrder", "graft.ScaleBuckets", "graft.ScaleStream",
+             "graft.ScaleDecontam"]
 
 
 def loadavg():
@@ -92,6 +93,7 @@ PRIMARY = {
     "scale_buckets": lambda r: r["bucket_join_sec"] + r["plain_join_sec"],
     "scale_stream": lambda r: (r["windowed"]["drain_sec"] + r["sessions"]["drain_sec"]
                                + r["interval_join"]["drain_sec"]),
+    "scale_decontam": lambda r: r["bloom_sec"] + r["nogate_sec"],
 }
 
 
@@ -172,6 +174,18 @@ def table(merged):
              f"{k['plain_join_sec']:.2f}s / {k['plain_exchanges']} exchanges "
              f"(rows+checksum identical)", "—"),
         ]
+    if "scale_decontam" in merged:
+        dc = merged["scale_decontam"]
+        rows += [
+            ("Decontamination: Bloom-gated vs ungated join",
+             f"{dc['docs']:,} docs vs {dc['bench_docs']} bench docs "
+             f"({dc['bench_bytes']/1e3:.0f} KB)",
+             f"{dc['bloom_sec']:.1f}s vs {dc['nogate_sec']:.1f}s; "
+             f"{dc['postings_pruned_frac']*100:.1f}% of "
+             f"{dc['train_postings']:,} postings pruned before the shuffle "
+             f"({dc['flagged_rows']:,} flagged, outputs equal: {dc['outputs_equal']})",
+             f"{max(dc['stragglers']['bloom'], dc['stragglers']['nogate']):.2f}"),
+        ]
     if "scale_stream" in merged:
         st = merged["scale_stream"]
         w, se, ij = st["windowed"], st["sessions"], st["interval_join"]
@@ -224,7 +238,7 @@ def main():
             # counts, which vary with AQE).
             INPUT_FIELDS = ("copies", "docs", "events", "users", "vectors",
                             "n_lists", "queries", "k", "rows", "buckets",
-                            "pq_rerank_n")
+                            "pq_rerank_n", "bench_docs", "gram_n", "min_hits")
             def workload(r):
                 return {f: r[f] for f in INPUT_FIELDS if f in r}
             same = old is not None and workload(old) == workload(rec)
