@@ -152,6 +152,14 @@ def table(merged):
              f"(recall {a['pq_adc_recall']:.2f} / {a['pq_rerank_recall']:.2f})",
              f"{max(a['stragglers']['pq_adc'], a['stragglers']['pq_rerank']):.2f}"),
         ]
+    if "pq_ivf8_sec" in a:
+        rows += [
+            ("IVF x PQ composed search (nProbe=8 + re-rank)", "same batch",
+             f"{a['pq_ivf8_sec']:.1f}s (two-level encode "
+             f"{a.get('pq_ivf_encode_sec', float('nan')):.1f}s amortized; "
+             f"recall {a.get('pq_ivf8_recall', float('nan')):.2f})",
+             f"{a['stragglers'].get('pq_ivf8', float('nan')):.2f}"),
+        ]
     if "scale_zorder" in merged:
         z = merged["scale_zorder"]
         zo, pl = z["zorder"], z["plain"]
