@@ -393,13 +393,20 @@ class LlmSpec extends AnyFunSuite {
     ()
   }
 
-  test("bloom-gated contamination flags equal the ungated operator on random docs") {
+  test("bloom-gated contamination flags equal the ungated exact join on random docs") {
     val rnd = new scala.util.Random(31)
     val vocab = (0 until 25).map(i => f"w$i%02d")
     def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
     val bench = (100L until 110L).map(i => (i, doc(12))).toDF("doc_id", "text")
     val docs = (0L until 60L).map(i => (i, doc(20))).toDF("doc_id", "text")
-    val plain = TextAnalysis.contaminationFlags(docs, bench, "text", "doc_id", n = 3, minHits = 2)
+    // the UNGATED exact equi-join, built from the same public gram pass —
+    // the Bloom gate is a prefilter whose false positives the confirming
+    // join discards, so the flagged sets must be identical
+    val plain = docs
+      .select(col("doc_id"), explode(TextAnalysis.wordGrams("text", 3)).as("g"))
+      .join(bench.select(explode(TextAnalysis.wordGrams("text", 3)).as("g")).distinct(), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
     val bloom = TextAnalysis.contaminationFlagsBloom(docs, bench, "text", "doc_id", n = 3, minHits = 2)
     assert(TestSpark.rows(bloom) === TestSpark.rows(plain))
   }
