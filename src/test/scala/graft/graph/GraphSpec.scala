@@ -134,6 +134,27 @@ class GraphSpec extends AnyFunSuite {
     assert(selfLoops.head.getLong(0) === 0L)
   }
 
+  test("Triangle count: shuffle path agrees with broadcast path on noisy input") {
+    // force the far side of the broadcast gate and replay the invariance
+    // cases: the wedge formulation counts multiplicities, so its
+    // unconditional dedup is what this protects
+    System.setProperty("graft.tri.broadcastMaxEdges", "0")
+    try {
+      def tri(edges: Seq[(Long, Long)]): Long =
+        Analytics.triangleCount(edges.toDF("src", "dst")).collect().head.getLong(0)
+      val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+      assert(tri(k4) === 4L)
+      val noisy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L),
+        (0L, 2L), (2L, 2L), (1L, 1L))
+      assert(tri(noisy) === 1L)
+      // duplicates under assumeCanonical must not over-count either
+      val dupCanon = Seq((0L, 1L), (0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+      assert(Analytics.triangleCount(dupCanon, assumeCanonical = true)
+        .collect().head.getLong(0) === 1L)
+    } finally System.clearProperty("graft.tri.broadcastMaxEdges")
+    ()
+  }
+
   test("PageRank rejects iters < 1 (the two strategies disagreed on 0)") {
     intercept[IllegalArgumentException] {
       Analytics.pageRank(Seq((0L, 1L)).toDF("src", "dst"), iters = 0)
