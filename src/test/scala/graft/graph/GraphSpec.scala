@@ -155,6 +155,34 @@ class GraphSpec extends AnyFunSuite {
     ()
   }
 
+  test("Triangle count matches driver-side brute force on random graphs, both paths") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 4) {
+      val n = 12 + rnd.nextInt(10)
+      // random undirected graph, emitted as noisy directed rows (random
+      // direction, occasional duplicates) — the operator must canonicalize
+      val undirected = (for (a <- 0 until n; b <- a + 1 until n
+                             if rnd.nextDouble() < 0.35) yield (a.toLong, b.toLong)).toSeq
+      val noisy = undirected.flatMap { case (a, b) =>
+        val base = if (rnd.nextBoolean()) Seq((a, b)) else Seq((b, a))
+        if (rnd.nextDouble() < 0.2) base ++ base else base
+      }
+      val adj = undirected.toSet
+      def conn(x: Long, y: Long) = adj.contains((math.min(x, y), math.max(x, y)))
+      val expected = (for (a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n
+                           if conn(a, b) && conn(b, c) && conn(a, c)) yield 1).sum.toLong
+      val broadcastPath = Analytics.triangleCount(noisy.toDF("src", "dst"))
+        .collect().head.getLong(0)
+      assert(broadcastPath === expected, s"broadcast path, trial $trial")
+      System.setProperty("graft.tri.broadcastMaxEdges", "0")
+      try {
+        val shufflePath = Analytics.triangleCount(noisy.toDF("src", "dst"))
+          .collect().head.getLong(0)
+        assert(shufflePath === expected, s"shuffle path, trial $trial")
+      } finally System.clearProperty("graft.tri.broadcastMaxEdges")
+    }
+  }
+
   test("PageRank rejects iters < 1 (the two strategies disagreed on 0)") {
     intercept[IllegalArgumentException] {
       Analytics.pageRank(Seq((0L, 1L)).toDF("src", "dst"), iters = 0)
