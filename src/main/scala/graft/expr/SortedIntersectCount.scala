@@ -19,28 +19,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * inside the surrounding stage's generated code: no allocation, no
   * hashing, O(|a| + |b|).
   *
-  * Inputs MUST be sorted ascending with distinct non-null elements (the
+  * Inputs MUST be sorted ascending with distinct elements (the
   * adjacency-list contract); duplicate elements would each count once per
   * matching pair rank, and unsorted input undercounts — the caller owns the
-  * invariant, mirroring `array_sort` preconditions elsewhere.
+  * invariant, mirroring `array_sort` preconditions elsewhere. Null elements
+  * are tolerated and never match (skipped by the merge).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // containsNull must be FALSE: count() reads elements with getLong unguarded,
-  // so a nullable-element array would silently miscount through the public SQL
-  // surface — reject it at analysis time (internal callers all build arrays
-  // from collect_list/typedLit, which are containsNull = false)
+  // Nullable elements are ACCEPTED and skipped by count(): the r13 analysis-
+  // time rejection of containsNull = true broke every source that reports
+  // nullable elements without ever holding a null (parquet written by other
+  // engines, CAST to array<bigint>, split/transform results). A null element
+  // never intersects anything (SQL: null = x is never true), so skipping is
+  // the only consistent semantics, and sorted inputs keep their non-null run
+  // sorted whether the sort put nulls first or last.
   private def isLongArray(t: DataType): Boolean = t match {
-    case ArrayType(LongType, false) => true
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (isLongArray(left.dataType) && isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count requires (array<bigint>, array<bigint>) with non-null " +
-        s"elements, got (${left.dataType}, ${right.dataType})")
+      s"sorted_intersect_count requires (array<bigint>, array<bigint>), " +
+        s"got (${left.dataType}, ${right.dataType})")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
@@ -63,7 +67,7 @@ object SortedIntersectCount {
     org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
 
   /** Called from generated code — keep the (ArrayData, ArrayData) => int
-    * signature. Elements must be non-null. */
+    * signature. Null elements never match and are skipped. */
   def count(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -71,11 +75,15 @@ object SortedIntersectCount {
     var j = 0
     var c = 0
     while (i < na && j < nb) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     c
   }

@@ -203,7 +203,11 @@ object TextAnalysis {
     * ungated operator (spec + shared oracle row).
     *
     * The driver collects the filter binary once (the benchmark is the SMALL
-    * side — the same bounded statistics pass as IVF seeding). */
+    * side — the same bounded statistics pass as IVF seeding). When the
+    * benchmark-side estimate exceeds `graft.decontam.maxBloomGrams` (default
+    * 8M grams — where Spark's 64M-bit filter cap saturates), the gate is
+    * skipped and the operator degrades to the plain exact equi-join with no
+    * driver-held state and no extension-function dependency. */
   def contaminationFlagsBloom(docs: DataFrame, bench: DataFrame, textCol: String,
                               idCol: String, n: Int, minHits: Int,
                               expectedGrams: Long = 0L): DataFrame = {
@@ -213,6 +217,15 @@ object TextAnalysis {
     // the aggregate). Reject the ambiguity at the API edge.
     require(minHits >= 1, s"contaminationFlags: minHits must be >= 1, got $minHits")
     val dGrams = docs.select(col(idCol), explode(gramsArray(textCol, n)).as("g"))
+    // Gate the GATE: past ~8M benchmark grams Spark's filter binary saturates
+    // its 64M-bit cap, so every task would pay an 8MB broadcast literal (plus
+    // the driver collect that builds it) for a filter whose false-positive
+    // rate is already degrading — a benchmark that large has left the
+    // MB-against-TB shape the Bloom prefilter exists for, and the plain
+    // exact equi-join (no driver state at all) is the right plan. Same
+    // output either way: the equi-join confirms every row on both paths.
+    val maxBloomGrams = sys.props.get("graft.decontam.maxBloomGrams")
+      .map(_.toLong).getOrElse(8000000L)
     // benchmark-side prep (distinct gram set + filter binary) is gated on
     // the BENCH estimate — the side that is small by contract — and every
     // returned value is materialized inside the scope (checkpointed table,
@@ -225,11 +238,13 @@ object TextAnalysis {
       // a megabyte literal to every task for a kilobyte-scale gram set
       val est = if (expectedGrams > 0) expectedGrams
                 else math.max(1024L, 2L * bg.count())
-      (bg, bg
+      if (est > maxBloomGrams) (bg, None)
+      else (bg, Some(bg
         .agg(call_function("bloom_agg", xxhash64(col("g")), lit(est)).as("bf"))
-        .head.getAs[Array[Byte]](0))
+        .head.getAs[Array[Byte]](0)))
     }
-    val gated = dGrams.filter(call_function("bloom_contains", lit(bloom), xxhash64(col("g"))))
+    val gated = bloom.fold(dGrams)(bf =>
+      dGrams.filter(call_function("bloom_contains", lit(bf), xxhash64(col("g")))))
     graft.ops.StaticScope.materialize(docs) {
       gated.join(bGrams, Seq("g"))
         .groupBy(col(idCol))

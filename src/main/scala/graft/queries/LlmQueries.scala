@@ -35,15 +35,32 @@ object LlmQueries {
       graft.TempCleanup.deleteOnExit(d)
       d
     }
-    private val tables = scala.collection.concurrent.TrieMap[String, String]()
+    // ConcurrentHashMap.computeIfAbsent, NOT TrieMap.getOrElseUpdate: the
+    // builds are side-effecting (they write parquet), and TrieMap may run a
+    // racing getOrElseUpdate body twice — two overwrite-writes to the same
+    // path. computeIfAbsent locks the bin, so the build runs at most once.
+    private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
     private val codebooks =
-      scala.collection.concurrent.TrieMap[String, Array[Array[Array[Long]]]]()
-    /** Cache key: artifact name + the sf dir it was built from. */
-    def key(dir: String, name: String): String =
-      name + "_" + java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir))
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+    /** Cache key: artifact name + the sf dir + an INPUT FINGERPRINT of the
+      * embeddings table every ANN artifact derives from (each data file's
+      * name, length, mtime) — regenerating the parquet under `dir` within
+      * the JVM changes the fingerprint and misses the cache instead of
+      * silently serving an index built over the old data. */
+    def key(dir: String, name: String): String = {
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val files =
+        if (src.isFile) Array(src)
+        else Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      val fp = files.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      name + "_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(fp).toLong & 0xffffffffL))
+    }
     def table(s: SparkSession, k: String)(build: => DataFrame): DataFrame = {
-      val path = tables.getOrElseUpdate(k, {
+      val path = tables.computeIfAbsent(k, _ => {
         val p = s"$root/$k.parquet"
         build.write.mode("overwrite").parquet(p)
         p
@@ -51,7 +68,7 @@ object LlmQueries {
       s.read.parquet(path)
     }
     def codebook(k: String)(build: => Array[Array[Array[Long]]]): Array[Array[Array[Long]]] =
-      codebooks.getOrElseUpdate(k, build)
+      codebooks.computeIfAbsent(k, _ => build)
   }
 
   // ---- shared oracle fragments ----

@@ -35,17 +35,25 @@ class SortedIntersectCountSpec extends AnyFunSuite {
     assert(withNull.head.isNullAt(0))
   }
 
-  test("rejects nullable-element arrays at analysis time (getLong would miscount)") {
-    // array(col, lit(null)) has containsNull = true: the SQL surface must
-    // refuse it rather than silently read nulls as garbage longs
-    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "a")
+  test("accepts nullable-element arrays; null elements never match (skipped)") {
+    // r13 rejected containsNull = true at analysis time, which broke sources
+    // that REPORT nullable elements without holding a null (CAST to
+    // array<bigint>, parquet from other engines). Nullable types must work,
+    // and actual null elements must count as matching nothing.
+    val df = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "a")
     df.createOrReplaceTempView("sic_null_t")
-    val err = intercept[Exception] {
-      spark.sql(
-        "SELECT sorted_intersect_count(a, array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT))) FROM sic_null_t")
-        .collect()
-    }
-    assert(err.getMessage.toLowerCase.contains("sorted_intersect_count"))
+    // nullable TYPE, no null values: same answer as the non-null path
+    val castOnly = spark.sql(
+      "SELECT sorted_intersect_count(a, CAST(array(2, 3, 9) AS ARRAY<BIGINT>)) AS c FROM sic_null_t")
+      .collect().head.getInt(0)
+    assert(castOnly === 2)
+    // actual nulls (sorted null-first and null-last positions): skipped
+    val withNulls = spark.sql(
+      "SELECT sorted_intersect_count(a, array(CAST(NULL AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT))) AS c1, " +
+        "sorted_intersect_count(array(CAST(2 AS BIGINT), CAST(NULL AS BIGINT)), a) AS c2 FROM sic_null_t")
+      .collect().head
+    assert(withNulls.getInt(0) === 2) // {1,3}
+    assert(withNulls.getInt(1) === 1) // {2}; trailing null skipped
     spark.catalog.dropTempView("sic_null_t")
   }
 

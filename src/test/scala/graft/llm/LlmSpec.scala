@@ -411,6 +411,24 @@ class LlmSpec extends AnyFunSuite {
     assert(TestSpark.rows(bloom) === TestSpark.rows(plain))
   }
 
+  test("oversized-benchmark fallback (bloom skipped) matches the bloom-gated output") {
+    // when the benchmark gram estimate exceeds graft.decontam.maxBloomGrams,
+    // the operator must skip the filter build (no driver-held binary) and run
+    // the plain exact equi-join — identical flagged set either way
+    val rnd = new scala.util.Random(47)
+    val vocab = (0 until 25).map(i => f"w$i%02d")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bench = (100L until 110L).map(i => (i, doc(12))).toDF("doc_id", "text")
+    val docs = (0L until 60L).map(i => (i, doc(20))).toDF("doc_id", "text")
+    val gated = TextAnalysis.contaminationFlags(docs, bench, "text", "doc_id", n = 3, minHits = 2)
+    val gatedRows = TestSpark.rows(gated)
+    System.setProperty("graft.decontam.maxBloomGrams", "1")
+    try {
+      val fallback = TextAnalysis.contaminationFlags(docs, bench, "text", "doc_id", n = 3, minHits = 2)
+      assert(TestSpark.rows(fallback) === gatedRows)
+    } finally System.clearProperty("graft.decontam.maxBloomGrams")
+  }
+
   test("langId picks the profile with the most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),
