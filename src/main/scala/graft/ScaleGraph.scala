@@ -1,0 +1,188 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Off-toy scale proof for the graph-analytics family: the shuffle-path
+  * PageRank and shuffle-path triangle count are the engine's beyond-gate
+  * (100 TB) formulations, and before this harness they had only ever run on
+  * toy property-test graphs. Both gate overrides
+  * (`graft.pr.broadcastMaxNodes`, `graft.tri.broadcastMaxEdges`) force each
+  * engine down BOTH paths on the SAME ≥10M-edge graph, so the artifact
+  * records (a) that the far paths complete at real size with bounded
+  * stragglers, (b) what the gated (broadcast/driver) paths cost at the same
+  * size, and (c) that the two strategies agree bit-for-bit — the same
+  * "measure the claim" discipline as [[ScaleDecontam]].
+  *
+  * Workload: a power-law random graph (`floor(N·u^2.5)` endpoints, u
+  * uniform) — node 0 collects ~0.3% of all endpoint draws (a 10^4-degree
+  * hub at the default size), which is exactly the skew the degree-ordered
+  * orientation and the Pregel aggregate must survive. Edges are
+  * materialized to parquet and re-read like a real input table.
+  *
+  * Also measured: the broadcast-path PageRank's driver-memory envelope —
+  * the per-round collected contribution table (`collectS` in
+  * [[graft.graph.Analytics.pageRank]]) as actual `SizeEstimator` bytes at
+  * this node count, with the ×2 live-during-swap factor called out, so the
+  * 10M-node gate default is justified by a measurement instead of an
+  * estimate.
+  */
+object ScaleGraph {
+
+  def main(args: Array[String]): Unit = {
+    val edgesN = sys.env.getOrElse("SCALE_EDGES", "10000000").toLong
+    val nodesN = sys.env.getOrElse("SCALE_NODES", "2000000").toLong
+    val prIters = sys.env.getOrElse("SCALE_PR_ITERS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
+      .getOrElse(math.max(2.0, 0.5 * cpus.toDouble))
+    var waitBudgetMs = sys.env.get("SPARK_GRAFT_LOAD_WAIT_BUDGET_MS").map(_.toLong)
+      .getOrElse(600000L)
+    def gateOnLoad(tag: String): Double = {
+      var l = loadavg()
+      var tries = 0
+      while (l > loadGate && tries < 10 && waitBudgetMs > 0) {
+        val napMs = math.min(30000L, waitBudgetMs)
+        System.err.println(f"[scale_graph][gate] $tag load=$l%.2f > $loadGate%.1f, waiting ${napMs / 1000}s")
+        Thread.sleep(napMs)
+        waitBudgetMs -= napMs
+        tries += 1
+        l = loadavg()
+      }
+      l
+    }
+
+    val durations = new ConcurrentLinkedQueue[(Int, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        durations.add((te.stageId, te.taskInfo.duration)); ()
+      }
+    })
+    def straggler(): Double = {
+      val byStage = durations.toArray(Array.empty[(Int, Long)])
+        .groupBy(_._1).values.map(_.map(_._2).filter(_ >= 200).sorted)
+        .filter(_.length >= 8)
+      val r = if (byStage.isEmpty) 1.0
+        else byStage.map(ts => ts.last.toDouble / ts(ts.length / 2).toDouble).max
+      durations.clear()
+      r
+    }
+    val phaseSamples = sys.env.getOrElse("SCALE_PHASE_SAMPLES", "2").toInt
+    def bestOf[A](tag: String)(body: => A): (A, Double, Double, Double) = {
+      val runs = (1 to phaseSamples).map { _ =>
+        val load = gateOnLoad(tag)
+        val t = System.nanoTime()
+        val a = body
+        val sec = (System.nanoTime() - t) / 1e9
+        val st = straggler()
+        // persisted intermediates (edge snapshot, degree table, adjacency)
+        // are per-invocation state — drop them so the next sample starts
+        // cold and samples measure the same work
+        spark.catalog.clearCache()
+        System.err.println(f"[scale_graph] $tag sample $sec%.1fs load=$load%.2f straggler=$st%.2f")
+        (a, sec, st, load)
+      }
+      runs.minBy(_._2)
+    }
+
+    // --- synthetic power-law graph, materialized and re-read like real input
+    val work = java.nio.file.Files.createTempDirectory("graft_scale_graph")
+    TempCleanup.deleteOnExit(work)
+    spark.range(edgesN).select(
+        floor(pow(rand(7), 2.5) * nodesN).cast("long").as("src"),
+        floor(pow(rand(11), 2.5) * nodesN).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .write.mode("overwrite").parquet(s"$work/edges.parquet")
+    val edges = spark.read.parquet(s"$work/edges.parquet")
+
+    // untimed shape diagnostics: the skew the far paths must survive
+    val rawEdges = edges.count()
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val distinctUnd = und.count()
+    val degStats = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n"), max("d").as("dmax")).head
+    val vertices = degStats.getLong(0)
+    val maxDegree = degStats.getLong(1)
+
+    import graft.graph.Analytics
+
+    // --- triangles: far (shuffle) path, then the gated (broadcast) path
+    System.setProperty("graft.tri.broadcastMaxEdges", "0")
+    val (triShuffle, triShuffleSec, triShuffleStr, triShuffleLoad) =
+      bestOf("tri_shuffle") {
+        Analytics.triangleCount(edges).head.getLong(0)
+      }
+    System.setProperty("graft.tri.broadcastMaxEdges", Long.MaxValue.toString)
+    val (triBroadcast, triBroadcastSec, triBroadcastStr, triBroadcastLoad) =
+      bestOf("tri_broadcast") {
+        Analytics.triangleCount(edges).head.getLong(0)
+      }
+    System.clearProperty("graft.tri.broadcastMaxEdges")
+    require(triShuffle == triBroadcast,
+      s"triangle paths disagree: shuffle=$triShuffle broadcast=$triBroadcast")
+
+    // --- PageRank: far (shuffle Pregel) path, then the gated (driver-held
+    // contribution table) path — identical integer arithmetic, so the two
+    // rank tables must be bit-equal
+    System.setProperty("graft.pr.broadcastMaxNodes", "0")
+    val (prShuffleOut, prShuffleSec, prShuffleStr, prShuffleLoad) =
+      bestOf("pr_shuffle") {
+        val out = Analytics.pageRank(edges, prIters).localCheckpoint(true)
+        out.count()
+        out
+      }
+    System.clearProperty("graft.pr.broadcastMaxNodes")
+    val (prBroadcastOut, prBroadcastSec, prBroadcastStr, prBroadcastLoad) =
+      bestOf("pr_broadcast") {
+        val out = Analytics.pageRank(edges, prIters).localCheckpoint(true)
+        out.count()
+        out
+      }
+    val prEqual = prShuffleOut.except(prBroadcastOut).isEmpty &&
+      prBroadcastOut.except(prShuffleOut).isEmpty
+
+    // --- driver-memory envelope of the broadcast path (untimed): build the
+    // round-1 contribution table exactly as pageRank's collectS does and
+    // measure the LIVE array with SizeEstimator. Two generations are alive
+    // during each round's swap (cur + nxt), so the gate-edge envelope is
+    // 2× this figure scaled to the gate's node count.
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val eod = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val sArr = eod
+      .select(col("dst").as("node_id"), expr(s"${1000000000L / vertices} div outdeg").as("c"))
+      .groupBy("node_id").agg(sum("c").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sRows = sArr.length.toLong
+    val sBytes = org.apache.spark.util.SizeEstimator.estimate(sArr)
+
+    println(s"""{"metric":"scale_graph","edges":$rawEdges,"nodes_param":$nodesN,""" +
+      s""""distinct_und_edges":$distinctUnd,"vertices":$vertices,"max_degree":$maxDegree,""" +
+      s""""pr_iters":$prIters,"triangles":$triShuffle,""" +
+      s""""tri_shuffle_sec":$triShuffleSec,"tri_broadcast_sec":$triBroadcastSec,""" +
+      s""""pr_shuffle_sec":$prShuffleSec,"pr_broadcast_sec":$prBroadcastSec,""" +
+      s""""tri_paths_equal":true,"pr_paths_equal":$prEqual,""" +
+      s""""pr_driver_s_rows":$sRows,"pr_driver_s_bytes":$sBytes,""" +
+      s""""stragglers":{"tri_shuffle":$triShuffleStr,"tri_broadcast":$triBroadcastStr,""" +
+      s""""pr_shuffle":$prShuffleStr,"pr_broadcast":$prBroadcastStr},""" +
+      s""""loads":{"tri_shuffle":$triShuffleLoad,"tri_broadcast":$triBroadcastLoad,""" +
+      s""""pr_shuffle":$prShuffleLoad,"pr_broadcast":$prBroadcastLoad}}""")
+    spark.stop()
+  }
+}

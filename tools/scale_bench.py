@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESSES = ["graft.ScaleBench", "graft.ScaleJoins", "graft.ScaleAnn",
              "graft.ScaleZOrder", "graft.ScaleBuckets", "graft.ScaleStream",
-             "graft.ScaleDecontam"]
+             "graft.ScaleDecontam", "graft.ScaleGraph"]
 
 
 def loadavg():
@@ -94,6 +94,7 @@ PRIMARY = {
     "scale_stream": lambda r: (r["windowed"]["drain_sec"] + r["sessions"]["drain_sec"]
                                + r["interval_join"]["drain_sec"]),
     "scale_decontam": lambda r: r["bloom_sec"] + r["nogate_sec"],
+    "scale_graph": lambda r: r["tri_shuffle_sec"] + r["pr_shuffle_sec"],
 }
 
 
@@ -194,6 +195,23 @@ def table(merged):
              f"({dc['flagged_rows']:,} flagged, outputs equal: {dc['outputs_equal']})",
              f"{max(dc['stragglers']['bloom'], dc['stragglers']['nogate']):.2f}"),
         ]
+    if "scale_graph" in merged:
+        g = merged["scale_graph"]
+        rows += [
+            ("Triangle count: shuffle (beyond-gate) vs broadcast path",
+             f"{g['distinct_und_edges']:,} edges / {g['vertices']:,} vertices "
+             f"(max degree {g['max_degree']:,})",
+             f"{g['tri_shuffle_sec']:.1f}s vs {g['tri_broadcast_sec']:.1f}s "
+             f"({g['triangles']:,} triangles, paths equal: {g['tri_paths_equal']})",
+             f"{max(g['stragglers']['tri_shuffle'], g['stragglers']['tri_broadcast']):.2f}"),
+            ("PageRank: shuffle Pregel (beyond-gate) vs driver-held broadcast",
+             f"same graph, {g['pr_iters']} rounds",
+             f"{g['pr_shuffle_sec']:.1f}s vs {g['pr_broadcast_sec']:.1f}s "
+             f"(ranks bit-equal: {g['pr_paths_equal']}; driver s-table "
+             f"{g['pr_driver_s_rows']:,} rows = {g['pr_driver_s_bytes']/1e6:.0f} MB live, "
+             f"×2 during swap)",
+             f"{max(g['stragglers']['pr_shuffle'], g['stragglers']['pr_broadcast']):.2f}"),
+        ]
     if "scale_stream" in merged:
         st = merged["scale_stream"]
         w, se, ij = st["windowed"], st["sessions"], st["interval_join"]
@@ -246,7 +264,8 @@ def main():
             # counts, which vary with AQE).
             INPUT_FIELDS = ("copies", "docs", "events", "users", "vectors",
                             "n_lists", "queries", "k", "rows", "buckets",
-                            "pq_rerank_n", "bench_docs", "gram_n", "min_hits")
+                            "pq_rerank_n", "bench_docs", "gram_n", "min_hits",
+                            "nodes_param", "pr_iters")
             def workload(r):
                 return {f: r[f] for f in INPUT_FIELDS if f in r}
             same = old is not None and workload(old) == workload(rec)
