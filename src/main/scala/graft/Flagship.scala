@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Catalog, DfNode, EtlGroup, SqlNode}
+import graft.engine.{Catalog, DfNode, EtlGroup, EtlNode, SqlNode}
 import graft.er.{Blocking, ConnectedComponents, DedupeField, ErMeta, Pairing, Scoring}
 import graft.graph.MetaGraph
 
@@ -65,6 +65,55 @@ object Flagship {
     * (material, node_id) and (ordered_material, to_id). */
   val erMeta: ErMeta = ErMeta(metagraph.subgraphs, "material", erFields)
 
+  /** ER branch (messy.py feature->block->pair->score + clusterer): emits the
+    * (messy_id, new_id) mapping in the SAME id space as the material node. */
+  def erResolutionNode: DfNode = new DfNode(
+    "er_resolution",
+    inputIds = Seq("part"),
+    outputIds = Seq("er_mapping"),
+    fn = { case Seq(part) =>
+      val feats = part.groupBy(col("p_name").as("full_name"))
+        .agg(min(col("p_partkey")).as("__pk"))
+        .select(
+          md5(col("full_name")).as("node_id"),
+          col("full_name"),
+          substring_index(col("full_name"), " ", 1).as("first_token"),
+          element_at(split(col("full_name"), " "), 2).as("last_token"))
+      val blocks = Blocking.blockTable(feats, "node_id",
+        Seq(col("first_token"), col("last_token")))
+      val pairs = Pairing.candidatePairs(blocks)
+      val entityMap = Pairing.withFeatures(pairs, feats, "node_id", erFields.map(_.name))
+      val matches = Scoring.selectPairs(entityMap, erFields, threshold = 0.6)
+      val clusters = ConnectedComponents.clusterMapping(matches.select("from", "to"))
+      Seq(clusters
+        .filter(col("messy_id") =!= col("cluster_id"))
+        .select(col("messy_id"), col("cluster_id").as("new_id")))
+    })
+
+  /** Final read: rewritten links joined back to the rewritten product node —
+    * non-empty only if the whole chain (extraction, ER, retarget, grouping,
+    * validation) held together. */
+  def resultNode: SqlNode = new SqlNode(
+    "flagship_result",
+    inputIds = Seq("glink_ordered_material", "gnode_product", "gnode_customer"),
+    sqls = Map(
+      "flagship_graph" ->
+        """SELECT l.from_id, l.to_id, n.name AS product, c.name AS customer
+          |FROM glink_ordered_material l
+          |JOIN gnode_product n ON l.to_id = n.node_id
+          |JOIN gnode_customer c ON l.from_id = c.node_id""".stripMargin))
+
+  /** The pipeline's stage families in dependency order. `run` composes them
+    * into ONE concurrent EtlGroup (the reference shape); [[ScaleFlagship]]
+    * executes them one group at a time to attribute per-stage wall time. */
+  def stages: Seq[(String, Seq[EtlNode])] = Seq(
+    "extraction" -> metagraph.extractionNodes,
+    "er" -> Seq(erResolutionNode: EtlNode),
+    "idconvert" -> erMeta.idConvertNodes("er_mapping"),
+    "grouping" -> metagraph.groupingNodes(erMeta.memberTable),
+    "validate" -> metagraph.validatorNodes,
+    "result" -> Seq(resultNode: EtlNode))
+
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_flagship")
     TempCleanup.deleteOnExit(work)
@@ -73,51 +122,7 @@ object Flagship {
     // stage inputs by reference, not by copy (id -> external parquet)
     metagraph.inputIds.foreach(id => cat.link(id, s"$sfDir/$id.parquet"))
 
-    // ER branch (messy.py feature->block->pair->score + clusterer): emits the
-    // (messy_id, new_id) mapping in the SAME id space as the material node
-    val erResolution = new DfNode(
-      "er_resolution",
-      inputIds = Seq("part"),
-      outputIds = Seq("er_mapping"),
-      fn = { case Seq(part) =>
-        val feats = part.groupBy(col("p_name").as("full_name"))
-          .agg(min(col("p_partkey")).as("__pk"))
-          .select(
-            md5(col("full_name")).as("node_id"),
-            col("full_name"),
-            substring_index(col("full_name"), " ", 1).as("first_token"),
-            element_at(split(col("full_name"), " "), 2).as("last_token"))
-        val blocks = Blocking.blockTable(feats, "node_id",
-          Seq(col("first_token"), col("last_token")))
-        val pairs = Pairing.candidatePairs(blocks)
-        val entityMap = Pairing.withFeatures(pairs, feats, "node_id", erFields.map(_.name))
-        val matches = Scoring.selectPairs(entityMap, erFields, threshold = 0.6)
-        val clusters = ConnectedComponents.clusterMapping(matches.select("from", "to"))
-        Seq(clusters
-          .filter(col("messy_id") =!= col("cluster_id"))
-          .select(col("messy_id"), col("cluster_id").as("new_id")))
-      })
-
-    // final read: rewritten links joined back to the rewritten product node —
-    // non-empty only if the whole chain (extraction, ER, retarget, grouping,
-    // validation) held together
-    val result = new SqlNode(
-      "flagship_result",
-      inputIds = Seq("glink_ordered_material", "gnode_product", "gnode_customer"),
-      sqls = Map(
-        "flagship_graph" ->
-          """SELECT l.from_id, l.to_id, n.name AS product, c.name AS customer
-            |FROM glink_ordered_material l
-            |JOIN gnode_product n ON l.to_id = n.node_id
-            |JOIN gnode_customer c ON l.from_id = c.node_id""".stripMargin))
-
-    val nodes = metagraph.extractionNodes ++
-      Seq(erResolution) ++
-      erMeta.idConvertNodes("er_mapping") ++
-      metagraph.groupingNodes(erMeta.memberTable) ++
-      metagraph.validatorNodes ++
-      Seq(result)
-    new EtlGroup("flagship_pipeline", nodes, dropIntermediates = false)
+    new EtlGroup("flagship_pipeline", stages.flatMap(_._2), dropIntermediates = false)
       .execute(cat, maxActiveRun = 4)
 
     val graph = cat.read("flagship_graph")

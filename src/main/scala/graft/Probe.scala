@@ -3,10 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch diagnostic: bucket-size distribution + candidate volume of the
-  * MinHash cascade on a scaled corpus. */
+/** Scratch diagnostics. Default mode: bucket-size distribution + candidate
+  * volume of the MinHash cascade on a scaled corpus. `floor` mode: break the
+  * fixed per-query cost a fresh-session bench sample pays — session build,
+  * parquet listing/footer, first action (codegen + scheduling), warm action —
+  * so the bench's per-query overhead floor is attributed, not guessed. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("floor")) { floorProbe(); return }
     val copies = sys.env.getOrElse("SCALE_COPIES", "20").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -44,5 +48,46 @@ object Probe {
       .agg(sum(col("sz") * col("sz"))).first()
     System.err.println(s"[probe] pair work with cap 50: ${capped.get(0)}")
     spark.stop()
+  }
+
+  /** Fresh-session trivial-query cost breakdown, run K times (mirrors one
+    * Bench sample: build a session, read a table, hash-reduce it). */
+  private def floorProbe(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("PROBE_REPS", "5").toInt
+    def ms(t0: Long) = (System.nanoTime() - t0) / 1e6
+    for (i <- 1 to reps) {
+      val tBuild = System.nanoTime()
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val buildMs = ms(tBuild)
+      val tRead = System.nanoTime()
+      val df = spark.read.parquet(s"$sfDir/region.parquet") // 5 rows: pure overhead
+      val readMs = ms(tRead)
+      def consume(): Double = {
+        val t = System.nanoTime()
+        val cols = df.columns.map(c => col(s"`$c`").cast("string"))
+        df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).collect()
+        ms(t)
+      }
+      val firstMs = consume()  // plan + codegen + schedule + scan, cold session
+      val warmMs = consume()   // same minus first-touch costs
+      // a shuffling microquery: the smallest groupBy, to price one exchange
+      val tShuffle = System.nanoTime()
+      df.groupBy("r_regionkey").agg(count(lit(1))).collect()
+      val shuffleMs = ms(tShuffle)
+      println(f"""{"metric":"floor","rep":$i,"build_ms":$buildMs%.0f,"read_ms":$readMs%.0f,""" +
+        f""""first_action_ms":$firstMs%.0f,"warm_action_ms":$warmMs%.0f,"shuffle_action_ms":$shuffleMs%.0f}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
   }
 }

@@ -1,0 +1,163 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, EtlGroup}
+
+/** Off-toy scale proof for the WHOLE flagship pipeline shape: extraction →
+  * ER (feature/block/pair/score/cluster) → id rewrite → grouping →
+  * LinkIDValidators → final graph read, the reference's run_whole.py DAG —
+  * `q_metagraph_whole` proves it at sf0.1; this runs the [[Flagship]]
+  * config on a ×N corpus and attributes wall time PER STAGE (each stage
+  * family executes as its own EtlGroup in dependency order — semantically
+  * identical to the one concurrent group, but separable on the clock).
+  *
+  * Corpus scaling is id-disjoint replication: copy `rep` of every table
+  * shifts its keys by rep·stride and suffixes its entity names, so node
+  * counts, ER block counts, and link cardinalities all grow ×N (a naive row
+  * copy would dedup away in the DISTINCT extractions). Part names get their
+  * first TWO tokens rep-suffixed because those are the ER blocking keys —
+  * without the suffix a ×100 corpus collapses into ~90 giant blocks and the
+  * pair generator's skew cap (not the pipeline) becomes the thing measured;
+  * with it, per-block size stays that of the base corpus and ER work scales
+  * linearly, which is the production shape (more entities, not
+  * proportionally hotter blocks).
+  */
+object ScaleFlagship {
+
+  def main(args: Array[String]): Unit = {
+    val copies = sys.env.getOrElse("SCALE_FLAGSHIP_COPIES", "100").toInt
+    // dedicated env (not SPARK_GRAFT_SF_DIR): the scale axis here is REPLICAS
+    // of the sf0.01 base, not a bigger base — ER cluster sizes grow with the
+    // per-replica corpus, and the final graph join fans out ~quadratically in
+    // cluster size (measured: sf0.001 base ×2/link, sf0.01 ×36/link), so a
+    // sf0.1 base at ×100 would blow the result join to billions of rows while
+    // ×100 disjoint sf0.01 replicas keep every stage linear in copies — the
+    // production shape (more entities, not hotter blocks)
+    val sfDir = sys.env.getOrElse("SCALE_FLAGSHIP_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
+      .getOrElse(math.max(2.0, 0.5 * cpus.toDouble))
+    var waitBudgetMs = sys.env.get("SPARK_GRAFT_LOAD_WAIT_BUDGET_MS").map(_.toLong)
+      .getOrElse(600000L)
+    def gateOnLoad(tag: String): Double = {
+      var l = loadavg()
+      var tries = 0
+      while (l > loadGate && tries < 10 && waitBudgetMs > 0) {
+        val napMs = math.min(30000L, waitBudgetMs)
+        System.err.println(f"[scale_flagship][gate] $tag load=$l%.2f > $loadGate%.1f, waiting ${napMs / 1000}s")
+        Thread.sleep(napMs)
+        waitBudgetMs -= napMs
+        tries += 1
+        l = loadavg()
+      }
+      l
+    }
+
+    val durations = new ConcurrentLinkedQueue[(Int, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        durations.add((te.stageId, te.taskInfo.duration)); ()
+      }
+    })
+    def straggler(): Double = {
+      val byStage = durations.toArray(Array.empty[(Int, Long)])
+        .groupBy(_._1).values.map(_.map(_._2).filter(_ >= 200).sorted)
+        .filter(_.length >= 8)
+      val r = if (byStage.isEmpty) 1.0
+        else byStage.map(ts => ts.last.toDouble / ts(ts.length / 2).toDouble).max
+      durations.clear()
+      r
+    }
+
+    // --- id-disjoint ×copies corpus, projected to the columns the pipeline
+    // reads, materialized and linked like real input tables
+    val work = java.nio.file.Files.createTempDirectory("graft_scale_flagship")
+    TempCleanup.deleteOnExit(work)
+    val stride = 10000000L // above every sf0.1 key
+    val reps = broadcast(spark.range(copies).select(col("id").as("rep")))
+    def base(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
+    def shifted(c: String): org.apache.spark.sql.Column =
+      (col(c) + col("rep") * stride).as(c)
+
+    base("customer").crossJoin(reps)
+      .select(shifted("c_custkey"),
+        concat(col("c_name"), lit("#"), col("rep")).as("c_name"))
+      .write.mode("overwrite").parquet(s"$work/in/customer.parquet")
+    base("orders").crossJoin(reps)
+      .select(shifted("o_orderkey"), shifted("o_custkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$work/in/orders.parquet")
+    base("lineitem").crossJoin(reps)
+      .select(shifted("l_orderkey"), shifted("l_partkey"))
+      .write.mode("overwrite").parquet(s"$work/in/lineitem.parquet")
+    base("part").crossJoin(reps)
+      .withColumn("toks", split(col("p_name"), " "))
+      .select(shifted("p_partkey"),
+        concat_ws(" ",
+          concat(element_at(col("toks"), 1), lit("_"), col("rep")),
+          concat(element_at(col("toks"), 2), lit("_"), col("rep")),
+          array_join(slice(col("toks"), 3, 1000), " ")).as("p_name"))
+      .write.mode("overwrite").parquet(s"$work/in/part.parquet")
+
+    val cat = new Catalog(spark, s"$work/cat")
+    val counts = Flagship.metagraph.inputIds.map { id =>
+      cat.link(id, s"$work/in/$id.parquet")
+      id -> spark.read.parquet(s"$work/in/$id.parquet").count()
+    }.toMap
+
+    // --- the pipeline, stage family by stage family
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stageStragglers = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stageLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    Flagship.stages.foreach { case (stage, nodes) =>
+      val load = gateOnLoad(stage)
+      val t0 = System.nanoTime()
+      new EtlGroup(s"flagship_$stage", nodes, dropIntermediates = false)
+        .execute(cat, maxActiveRun = 4)
+      val sec = (System.nanoTime() - t0) / 1e9
+      stageSecs(stage) = sec
+      stageStragglers(stage) = straggler()
+      stageLoads(stage) = load
+      System.err.println(f"[scale_flagship] $stage $sec%.1fs load=$load%.2f")
+    }
+
+    val graph = cat.read("flagship_graph")
+    val graphRows = graph.count()
+    val mapping = cat.read("er_mapping")
+    val mappingRows = mapping.count()
+    // the flagship invariant: ER actually rewrote — no messy id survives
+    // (the validate stage already threw if any link endpoint dangled)
+    val messyLeft = graph.join(mapping,
+      graph("to_id") === mapping("messy_id"), "left_semi").count()
+    require(messyLeft == 0L, s"$messyLeft link endpoints still carry messy ids after ER rewrite")
+
+    def jmap(m: scala.collection.Map[String, Double], f: Double => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_flagship","copies":$copies,""" +
+      s""""customers":${counts("customer")},"orders":${counts("orders")},""" +
+      s""""lineitems":${counts("lineitem")},"parts":${counts("part")},""" +
+      s""""stage_secs":${jmap(stageSecs, v => f"$v%.3f")},""" +
+      s""""total_sec":${f"${stageSecs.values.sum}%.3f"},""" +
+      s""""graph_rows":$graphRows,"er_mapping_rows":$mappingRows,""" +
+      s""""messy_left":$messyLeft,"validators_pass":true,""" +
+      s""""stage_stragglers":${jmap(stageStragglers, v => f"$v%.2f")},""" +
+      s""""loads":${jmap(stageLoads, v => f"$v%.2f")}}""")
+    spark.stop()
+  }
+}

@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESSES = ["graft.ScaleBench", "graft.ScaleJoins", "graft.ScaleAnn",
              "graft.ScaleZOrder", "graft.ScaleBuckets", "graft.ScaleStream",
-             "graft.ScaleDecontam", "graft.ScaleGraph"]
+             "graft.ScaleDecontam", "graft.ScaleGraph", "graft.ScaleFlagship"]
 
 
 def loadavg():
@@ -95,6 +95,7 @@ PRIMARY = {
                                + r["interval_join"]["drain_sec"]),
     "scale_decontam": lambda r: r["bloom_sec"] + r["nogate_sec"],
     "scale_graph": lambda r: r["tri_shuffle_sec"] + r["pr_shuffle_sec"],
+    "scale_flagship": lambda r: r["total_sec"],
 }
 
 
@@ -211,6 +212,17 @@ def table(merged):
              f"{g['pr_driver_s_rows']:,} rows = {g['pr_driver_s_bytes']/1e6:.0f} MB live, "
              f"×2 during swap)",
              f"{max(g['stragglers']['pr_shuffle'], g['stragglers']['pr_broadcast']):.2f}"),
+        ]
+    if "scale_flagship" in merged:
+        fl = merged["scale_flagship"]
+        ss = fl["stage_secs"]
+        stages = " + ".join(f"{k} {v:.0f}s" for k, v in ss.items())
+        rows += [
+            ("Flagship pipeline (extract→ER→rewrite→group→validate→graph)",
+             f"×{fl['copies']}: {fl['lineitems']:,} lineitems / {fl['parts']:,} parts",
+             f"{fl['total_sec']:.0f}s = {stages} ({fl['graph_rows']:,} graph rows, "
+             f"{fl['er_mapping_rows']:,} ER rewrites, validators pass: {fl['validators_pass']})",
+             f"{max(fl['stage_stragglers'].values()):.2f}"),
         ]
     if "scale_stream" in merged:
         st = merged["scale_stream"]
