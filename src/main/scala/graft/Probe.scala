@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("floor")) { floorProbe(); return }
+    if (args.headOption.contains("stream")) { streamProbe(); return }
     val copies = sys.env.getOrElse("SCALE_COPIES", "20").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -47,6 +48,44 @@ object Probe {
     val capped = sizes.filter(col("sz") <= 50)
       .agg(sum(col("sz") * col("sz"))).first()
     System.err.println(s"[probe] pair work with cap 50: ${capped.get(0)}")
+    spark.stop()
+  }
+
+  /** Per-batch breakdown of the bench's stream-stream interval-join drain:
+    * how many AvailableNow micro-batches the fixture takes and where each
+    * batch's time goes (planning, state commit, addBatch). */
+  private def streamProbe(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        val d = p.durationMs
+        println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"trigger=${d.get("triggerExecution")}ms addBatch=${d.get("addBatch")}ms " +
+          s"planning=${d.get("queryPlanning")}ms walCommit=${d.get("walCommit")}ms " +
+          s"commitOffsets=${d.get("commitOffsets")}ms getBatch=${d.get("getBatch")}ms " +
+          s"stateRows=${p.stateOperators.map(_.numRowsTotal).sum} " +
+          s"stateCommitMs=${p.stateOperators.map(_.commitTimeMs).sum}")
+      }
+    })
+    for (i <- 1 to sys.env.getOrElse("PROBE_REPS", "2").toInt) {
+      val t0 = System.nanoTime()
+      val out = graft.streaming.Streams.streamIntervalJoin(spark, s"$sfDir/events.parquet", 60)
+      val n = out.count()
+      println(f"[stream] rep=$i total=${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
     spark.stop()
   }
 

@@ -289,9 +289,14 @@ object Streams {
       val p = new java.io.File(eventsDir)
       if (p.isFile) (p.getParent, p.getName) else (eventsDir, "*")
     }
-    def side(): DataFrame = spark.readStream.schema(eventsSchema)
+    // ONE file source, both join branches derived from it (stream-stream
+    // self-join): a second readStream would mean a second source with its
+    // own listing, offset log, and schema admin per micro-batch for the
+    // same bytes — the engine supports self-joins, so don't pay it twice
+    val src = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", glob).parquet(base)
       .withColumn("event_ts", eventTime)
+    def side(): DataFrame = src
     val clicks = side().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("ts_us"), col("event_ts").as("c_ts"))
