@@ -148,13 +148,17 @@ object ScaleGraph {
         out.count()
         out
       }
-    System.clearProperty("graft.pr.broadcastMaxNodes")
+    // FORCE the broadcast path (the default gate is 100k nodes — measured
+    // by this harness's own crossover probes — so a cleared prop would
+    // silently measure the shuffle path twice at this size)
+    System.setProperty("graft.pr.broadcastMaxNodes", Long.MaxValue.toString)
     val (prBroadcastOut, prBroadcastSec, prBroadcastStr, prBroadcastLoad) =
       bestOf("pr_broadcast") {
         val out = Analytics.pageRank(edges, prIters).localCheckpoint(true)
         out.count()
         out
       }
+    System.clearProperty("graft.pr.broadcastMaxNodes")
     val prEqual = prShuffleOut.except(prBroadcastOut).isEmpty &&
       prBroadcastOut.except(prShuffleOut).isEmpty
 
