@@ -155,6 +155,25 @@ class GraphSpec extends AnyFunSuite {
     ()
   }
 
+  test("Triangle count: distributed-degree branch agrees with local-relation branch") {
+    // the broadcast path ships degrees as a driver-local relation only under
+    // a vertex sub-gate; force the distributed-degree branch (sub-gate 0)
+    // and require the identical count — this is the branch ScaleGraph runs
+    // at 1.9M vertices, pinned here at unit size
+    def k4Plus = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 5L))
+    val local = Analytics.triangleCount(k4Plus.toDF("src", "dst"))
+      .collect().head.getLong(0)
+    System.setProperty("graft.tri.localDegreeMaxVertices", "0")
+    try {
+      val dist = Analytics.triangleCount(k4Plus.toDF("src", "dst"))
+        .collect().head.getLong(0)
+      assert(dist === local)
+      assert(dist === 5L) // K4 has 4 triangles + the (3,4,5) triangle
+    } finally System.clearProperty("graft.tri.localDegreeMaxVertices")
+    ()
+  }
+
   test("Triangle count matches driver-side brute force on random graphs, both paths") {
     val rnd = new scala.util.Random(47)
     for (trial <- 1 to 4) {
