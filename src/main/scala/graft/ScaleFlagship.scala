@@ -90,9 +90,23 @@ object ScaleFlagship {
     // reads, materialized and linked like real input tables
     val work = java.nio.file.Files.createTempDirectory("graft_scale_flagship")
     TempCleanup.deleteOnExit(work)
-    val stride = 10000000L // above every sf0.1 key
     val reps = broadcast(spark.range(copies).select(col("id").as("rep")))
     def base(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
+    // stride derived from the MEASURED max base key (one untimed setup job),
+    // not assumed: a fixed 10M stride silently corrupts the scaled corpus
+    // with replica-key collisions if SCALE_FLAGSHIP_SF_DIR points at a base
+    // whose keys exceed it (sf10 orderkeys reach ~60M)
+    def maxOf(name: String, cols: String*): DataFrame =
+      base(name).select(max(cols.map(c => col(c).cast("long")).reduce(greatest(_, _))).as("m"))
+    val maxBaseKey = Seq(
+        maxOf("customer", "c_custkey"),
+        maxOf("orders", "o_orderkey", "o_custkey"),
+        maxOf("lineitem", "l_orderkey", "l_partkey"),
+        maxOf("part", "p_partkey"))
+      .reduce(_ union _).agg(max("m")).head.getLong(0)
+    val stride = math.max(10000000L,
+      math.pow(10, math.ceil(math.log10(maxBaseKey.toDouble + 1))).toLong)
+    require(maxBaseKey < stride, s"stride $stride <= max base key $maxBaseKey")
     def shifted(c: String): org.apache.spark.sql.Column =
       (col(c) + col("rep") * stride).as(c)
 

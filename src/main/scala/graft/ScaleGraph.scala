@@ -176,7 +176,7 @@ object ScaleGraph {
     val sRows = sArr.length.toLong
     val sBytes = org.apache.spark.util.SizeEstimator.estimate(sArr)
 
-    println(s"""{"metric":"scale_graph","edges":$rawEdges,"nodes_param":$nodesN,""" +
+    println(s"""{"metric":"scale_graph","edges":$rawEdges,"edges_param":$edgesN,"nodes_param":$nodesN,""" +
       s""""distinct_und_edges":$distinctUnd,"vertices":$vertices,"max_degree":$maxDegree,""" +
       s""""pr_iters":$prIters,"triangles":$triShuffle,""" +
       s""""tri_shuffle_sec":$triShuffleSec,"tri_broadcast_sec":$triBroadcastSec,""" +

@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * matching pair rank, and unsorted input undercounts — the caller owns the
   * invariant, mirroring `array_sort` preconditions elsewhere. Null elements
   * are tolerated and never match (skipped by the merge).
+  *
+  * NULL-semantics divergence from the built-in: `array_intersect` treats a
+  * NULL present in BOTH arrays as a common element (one NULL appears in its
+  * result), so `size(array_intersect(a, b))` counts it where this expression
+  * does not. On null-bearing arrays the two are off by one — this is NOT a
+  * drop-in replacement there; it is deliberate (an id list's null carries no
+  * identity) and pinned by SortedIntersectCountSpec.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {

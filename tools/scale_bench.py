@@ -277,7 +277,7 @@ def main():
             INPUT_FIELDS = ("copies", "docs", "events", "users", "vectors",
                             "n_lists", "queries", "k", "rows", "buckets",
                             "pq_rerank_n", "bench_docs", "gram_n", "min_hits",
-                            "nodes_param", "pr_iters")
+                            "nodes_param", "pr_iters", "edges_param")
             def workload(r):
                 return {f: r[f] for f in INPUT_FIELDS if f in r}
             same = old is not None and workload(old) == workload(rec)
