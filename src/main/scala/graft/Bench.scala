@@ -335,6 +335,17 @@ object Bench {
       .mkString("{", ",\n", "}")
     java.nio.file.Files.write(outDir.toPath.resolve("oracle_sql.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the symmetrized-bench companion: untimed artifact builds (ordered)
+    // plus per-query timed overrides (see SparkEntry.oracleSetupSql)
+    val setup = SparkEntry.oracleSetupSql
+      .map { case (t, sql) => s"""["${esc(t)}", "${esc(sql)}"]""" }
+      .mkString("[", ",\n", "]")
+    val timed = SparkEntry.oracleBenchSql.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ",\n", "}")
+    java.nio.file.Files.write(outDir.toPath.resolve("oracle_bench_sql.json"),
+      s"""{"setup": $setup,\n"timed": $timed}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
 

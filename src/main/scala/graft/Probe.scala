@@ -12,6 +12,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("floor")) { floorProbe(); return }
     if (args.headOption.contains("stream")) { streamProbe(); return }
+    if (args.headOption.contains("graph")) { graphProbe(args.drop(1).headOption.getOrElse("q_graph_triangles")); return }
     val copies = sys.env.getOrElse("SCALE_COPIES", "20").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -49,6 +50,72 @@ object Probe {
       .agg(sum(col("sz") * col("sz"))).first()
     System.err.println(s"[probe] pair work with cap 50: ${capped.get(0)}")
     spark.stop()
+  }
+
+  /** Per-JOB wall-time attribution of one bench query (default
+    * q_graph_triangles), measured exactly as a Bench sample runs it: fresh
+    * session, warm-up pass, then a timed pass with a job listener recording
+    * each job's duration and call site — so "N jobs × floor" claims are
+    * measured, not inferred. */
+  private def graphProbe(qname: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("PROBE_REPS", "3").toInt
+    def build(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    val fn = SparkEntry.queries(qname)
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cols = df.columns.map(c => col(s"`$c`").cast("string"))
+      df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).collect()
+      ()
+    }
+    for (rep <- 1 to reps) {
+      val spark = build()
+      // warm-up, untimed (mirrors the bench's suite-wide warm pass)
+      consume(fn(spark, sfDir))
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val stages = js.stageInfos.sortBy(_.stageId)
+            .map(si => s"s${si.stageId}(${si.numTasks}t)").mkString(",")
+          val props = Option(js.properties)
+          val eid = props.map(_.getProperty("spark.sql.execution.id", "-")).getOrElse("-")
+          val root = props.map(_.getProperty("spark.sql.execution.root.id", "-")).getOrElse("-")
+          val site = s"exec=$eid/root=$root $stages"
+          jobs.put(js.jobId, (System.nanoTime(), site)); ()
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobs.get(je.jobId)).foreach { case (t0, site) =>
+            done.add((je.jobId, (System.nanoTime() - t0) / 1e9, site))
+          }
+          ()
+        }
+      })
+      val t0 = System.nanoTime()
+      consume(fn(spark, sfDir))
+      val total = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let listener events drain
+      val rows = done.toArray(Array.empty[(Int, Double, String)]).sortBy(_._1)
+      val jobSum = rows.map(_._2).sum
+      println(f"[graphprobe] rep=$rep $qname total=$total%.2fs jobs=${rows.length} jobSum=$jobSum%.2fs gap=${total - jobSum}%.2fs")
+      rows.foreach { case (id, sec, site) =>
+        val startOff = (jobs.get(id)._1 - t0) / 1e9
+        println(f"[graphprobe]   job=$id start=$startOff%.2f end=${startOff + sec}%.2f ($sec%.3fs) $site")
+      }
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
   }
 
   /** Per-batch breakdown of the bench's stream-stream interval-join drain:

@@ -31,4 +31,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     groups.iterator.map(_._2).reduce(_ ++ _)
+
+  /** Bench-only oracle symmetrization (see [[graft.queries.LlmQueries]]):
+    * ordered index-artifact temp-table builds the oracle bench runs
+    * UNTIMED, and per-query timed overrides referencing them — so the
+    * amortized Spark ANN probes compare against amortized oracle probes.
+    * Correctness (`oracleSql`) is unaffected. */
+  def oracleSetupSql: Seq[(String, String)] =
+    _root_.graft.queries.LlmQueries.oracleSetupSql
+  def oracleBenchSql: Map[String, String] =
+    _root_.graft.queries.LlmQueries.oracleBenchSql
 }

@@ -41,6 +41,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // symmetrized-bench companion (setup tables + timed overrides) so
+    // tools/check.py --bench-sql can pin override ≡ original without a
+    // bench run
+    val setup = SparkEntry.oracleSetupSql
+      .map { case (t, sql) => s"[${q(t)}, ${q(sql)}]" }.mkString("[", ",", "]")
+    val timed = SparkEntry.oracleBenchSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_bench_sql.json"),
+      s"""{"setup": $setup, "timed": $timed}""")
     spark.stop()
   }
 }

@@ -149,6 +149,30 @@ object LlmQueries {
   private def sqlQcos(a: String, b: String) =
     s"${sqlQdot(a, b)} / (sqrt(${sqlQdot(a, a)}) * sqrt(${sqlQdot(b, b)}))"
 
+  /** One Lloyd round over a seed CTE `sIn` → `sOut` (expects a `v` CTE of
+    * (vec_id, qv)): assign all vectors to their argmax-cosine seed, rebuild
+    * each centroid as the element-wise floor(sum/count); lists that empty
+    * out keep their previous centroid. Mirrors [[Similarity.kmeansSeeds]]'
+    * integer arithmetic exactly. */
+  private def sqlLloydRound(sIn: String, sOut: String) =
+    s"""a_$sOut AS (
+       |  SELECT vec_id, qv, list_id FROM (
+       |    SELECT x.vec_id, x.qv, s.list_id,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+       |    FROM v x CROSS JOIN $sIn s) t
+       |  WHERE rn = 1),
+       |u_$sOut AS (
+       |  SELECT list_id, i, SUM(qv[i]) AS sm, COUNT(*) AS n
+       |  FROM a_$sOut, UNNEST(generate_series(1, 64)) AS t(i)
+       |  GROUP BY list_id, i),
+       |g_$sOut AS (
+       |  SELECT list_id, list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS sv
+       |  FROM u_$sOut GROUP BY list_id),
+       |$sOut AS (
+       |  SELECT s.list_id, COALESCE(g.sv, s.sv) AS sv
+       |  FROM $sIn s LEFT JOIN g_$sOut g USING (list_id))""".stripMargin
+
   private val sqlBucket =
     """CAST(list_sum(list_transform(generate_series(1, 8),
       |  i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0 THEN 1 << (i-1) ELSE 0 END)) AS BIGINT)""".stripMargin
@@ -829,32 +853,11 @@ object LlmQueries {
          |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
          |WHERE rn <= 5""".stripMargin,
 
-    "q_ann_ivf_kmeans" -> {
-      // one Lloyd round: assign all vectors to their argmax-cosine seed, then
-      // rebuild each centroid as the element-wise floor(sum/count); lists
-      // that empty out keep their previous centroid
-      def round(sIn: String, sOut: String) =
-        s"""a_$sOut AS (
-           |  SELECT vec_id, qv, list_id FROM (
-           |    SELECT x.vec_id, x.qv, s.list_id,
-           |      row_number() OVER (PARTITION BY x.vec_id
-           |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
-           |    FROM v x CROSS JOIN $sIn s) t
-           |  WHERE rn = 1),
-           |u_$sOut AS (
-           |  SELECT list_id, i, SUM(qv[i]) AS sm, COUNT(*) AS n
-           |  FROM a_$sOut, UNNEST(generate_series(1, 64)) AS t(i)
-           |  GROUP BY list_id, i),
-           |g_$sOut AS (
-           |  SELECT list_id, list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS sv
-           |  FROM u_$sOut GROUP BY list_id),
-           |$sOut AS (
-           |  SELECT s.list_id, COALESCE(g.sv, s.sv) AS sv
-           |  FROM $sIn s LEFT JOIN g_$sOut g USING (list_id))""".stripMargin
+    "q_ann_ivf_kmeans" ->
       s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
          |s0 AS (SELECT vec_id AS list_id, qv AS sv FROM v WHERE vec_id < 16),
-         |${round("s0", "s1")},
-         |${round("s1", "s2")},
+         |${sqlLloydRound("s0", "s1")},
+         |${sqlLloydRound("s1", "s2")},
          |assigned AS (
          |  SELECT vec_id, qv, list_id FROM (
          |    SELECT x.vec_id, x.qv, s.list_id,
@@ -867,8 +870,7 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
          |  FROM assigned q JOIN assigned c ON q.list_id = c.list_id
          |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
-         |WHERE rn <= 5""".stripMargin
-    },
+         |WHERE rn <= 5""".stripMargin,
 
     "q_ann_pq" -> sqlPqAdc(
       """SELECT query_id, match_id, adc FROM (
@@ -1181,4 +1183,158 @@ object LlmQueries {
         |  1 + doc_id % 600 AS height
         |FROM documents""".stripMargin
   )
+
+  // -------------------------------------------------------------------
+  // Bench-only oracle symmetrization (round-14 advice): the Spark bench
+  // amortizes ANN index artifacts across samples through the per-JVM
+  // AnnIndex cache (trained seeds, inverted lists, PQ codebook, codes —
+  // the production index lifecycle), while the standalone `oracleSql`
+  // statements rebuild those artifacts INSIDE the timed statement. These
+  // setup statements materialize the SAME artifacts as DuckDB temp tables
+  // once per bench run (untimed), and `oracleBenchSql` re-expresses the
+  // four index-bearing ANN queries against them — so the bench compares
+  // marginal probe to marginal probe. Correctness is untouched: Verify and
+  // the driver's gate still run `oracleSql`, which rebuilds from scratch.
+  // Each override returns exactly the rows of its `oracleSql` counterpart
+  // (pinned by tools/check.py --bench-sql).
+  // -------------------------------------------------------------------
+
+  /** Ordered (temp table, SELECT body) pairs; later entries may reference
+    * earlier tables. Mirrors the AnnIndex artifact set: quantized corpus
+    * vectors (stored as `v`/`vn` in every Spark-side index table), trained
+    * IVF seeds + inverted lists, PQ codebook + codes, untrained IVF×PQ
+    * list assignment. */
+  val oracleSetupSql: Seq[(String, String)] = Seq(
+    "ann_qv" -> s"SELECT vec_id, $sqlQuantize AS qv FROM embeddings",
+
+    "ann_ivfk_seeds" ->
+      s"""WITH v AS (SELECT vec_id, qv FROM ann_qv),
+         |s0 AS (SELECT vec_id AS list_id, qv AS sv FROM v WHERE vec_id < 16),
+         |${sqlLloydRound("s0", "s1")},
+         |${sqlLloydRound("s1", "s2")}
+         |SELECT list_id, sv FROM s2""".stripMargin,
+
+    "ann_ivfk_lists" ->
+      s"""SELECT vec_id, list_id FROM (
+         |  SELECT x.vec_id, s.list_id,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |  FROM ann_qv x CROSS JOIN ann_ivfk_seeds s) a
+         |WHERE rn = 1""".stripMargin,
+
+    "ann_pq_cb" ->
+      """SELECT s.vec_id AS code, t.j AS j,
+        |  list_slice(s.qv, t.j * 8 + 1, t.j * 8 + 8) AS cv
+        |FROM ann_qv s, UNNEST(generate_series(0, 7)) AS t(j)
+        |WHERE s.vec_id < 16""".stripMargin,
+
+    "ann_pq_enc" ->
+      s"""SELECT vec_id, j, code FROM (
+         |  SELECT x.vec_id, cb.j, cb.code,
+         |    row_number() OVER (PARTITION BY x.vec_id, cb.j
+         |      ORDER BY 2 * ${sqlQdotInt("list_slice(x.qv, cb.j * 8 + 1, cb.j * 8 + 8)", "cb.cv")}
+         |        - ${sqlQdotInt("cb.cv", "cb.cv")} DESC, cb.code) AS rn
+         |  FROM ann_qv x CROSS JOIN ann_pq_cb cb) a
+         |WHERE rn = 1""".stripMargin,
+
+    "ann_ivfpq_assigned" ->
+      s"""WITH seeds AS (SELECT vec_id AS list_id, qv AS sv FROM ann_qv WHERE vec_id < 16)
+         |SELECT vec_id, list_id FROM (
+         |  SELECT x.vec_id, s.list_id,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |  FROM ann_qv x CROSS JOIN seeds s) a
+         |WHERE rn = 1""".stripMargin)
+
+  private val sqlBenchAdc =
+    s"""adc AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+       |    CAST(SUM(${sqlQdotInt("list_slice(q.qv, c.j * 8 + 1, c.j * 8 + 8)", "c.cv")}) AS BIGINT) AS adc
+       |  FROM q
+       |  JOIN ann_pq_enc e ON q.vec_id <> e.vec_id
+       |  JOIN ann_pq_cb c ON c.j = e.j AND c.code = e.code
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Timed statements for the symmetrized bench, keyed like `oracleSql`.
+    * What stays inside the timer matches the Spark side exactly: query
+    * quantization, probe assignment (and the IVF×PQ per-run seed scan),
+    * candidate scoring, top-k — candidate vectors and codes come from the
+    * pre-materialized artifact tables, as they come from AnnIndex there. */
+  val oracleBenchSql: Map[String, String] = Map(
+    "q_ann_ivf_kmeans" ->
+      s"""WITH q AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM q x CROSS JOIN ann_ivfk_seeds s) a
+         |  WHERE rn = 1)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT p.query_id, l.vec_id AS match_id, ${sqlQcos("p.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${sqlQcos("p.qv", "c.qv")} DESC, l.vec_id) AS rn
+         |  FROM probes p
+         |  JOIN ann_ivfk_lists l ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+         |  JOIN ann_qv c ON c.vec_id = l.vec_id) s
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_ann_pq" ->
+      s"""WITH q AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings WHERE vec_id < 10),
+         |$sqlBenchAdc
+         |SELECT query_id, match_id, adc FROM (
+         |  SELECT query_id, match_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, match_id) AS rn
+         |  FROM adc) z
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_ann_pq_rerank" ->
+      s"""WITH q AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings WHERE vec_id < 10),
+         |$sqlBenchAdc,
+         |sl AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT query_id, match_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, match_id) AS rn
+         |    FROM adc) z
+         |  WHERE rn <= 50)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT s.query_id, s.match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, s.match_id) AS rn
+         |  FROM sl s JOIN q ON q.vec_id = s.query_id
+         |    JOIN ann_qv c ON c.vec_id = s.match_id) z
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_ann_ivfpq" ->
+      s"""WITH v16 AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id, qv FROM v16 WHERE vec_id < 10),
+         |seeds AS (SELECT vec_id AS list_id, qv AS sv FROM v16),
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM q x CROSS JOIN seeds s) a
+         |  WHERE rn <= 4),
+         |adc AS (
+         |  SELECT p.query_id, a.vec_id AS match_id,
+         |    CAST(SUM(${sqlQdotInt("list_slice(p.qv, c.j * 8 + 1, c.j * 8 + 8)", "c.cv")}) AS BIGINT) AS adc
+         |  FROM probes p
+         |  JOIN ann_ivfpq_assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+         |  JOIN ann_pq_enc e ON e.vec_id = a.vec_id
+         |  JOIN ann_pq_cb c ON c.j = e.j AND c.code = e.code
+         |  GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT query_id, match_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, match_id) AS rn
+         |    FROM adc) z
+         |  WHERE rn <= 50)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT s.query_id, s.match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, s.match_id) AS rn
+         |  FROM sl s JOIN q ON q.vec_id = s.query_id
+         |    JOIN ann_qv c ON c.vec_id = s.match_id) z
+         |WHERE rn <= 5""".stripMargin)
 }

@@ -53,8 +53,41 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str)).reset_index(drop=True)
     return df
 
+def bench_sql_check():
+    """Pin the symmetrized-bench overrides: after building the untimed
+    artifact tables, each oracleBenchSql statement must return EXACTLY the
+    rows of its oracleSql counterpart (else the bench times a different
+    query). DuckDB-only — no Spark run needed beyond the JSON dumps."""
+    import duckdb, pandas as pd
+    src = None
+    for cand in (OUT, "/tmp/graft_oracle_bench"):
+        if os.path.exists(os.path.join(cand, "oracle_bench_sql.json")):
+            src = cand; break
+    if src is None:
+        run_verify(); src = OUT
+    oracle = json.load(open(os.path.join(src, "oracle_sql.json")))
+    bench = json.load(open(os.path.join(src, "oracle_bench_sql.json")))
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for tbl, sql in bench["setup"]:
+        con.execute(f"CREATE OR REPLACE TEMP TABLE {tbl} AS {sql}")
+    n_ok = 0
+    for name, sql in sorted(bench["timed"].items()):
+        got = canon(con.execute(sql).df())
+        exp = canon(con.execute(oracle[name]).df())
+        ok = list(got.columns) == list(exp.columns) and len(got) == len(exp) \
+            and got.astype(str).equals(exp.astype(str))
+        print(f"{'PASS' if ok else 'FAIL'} {name}: bench override "
+              f"{'matches' if ok else 'DIFFERS FROM'} oracle ({len(got)} rows)")
+        n_ok += ok
+    print(f"== {n_ok}/{len(bench['timed'])} bench overrides match on {SF}")
+    sys.exit(0 if n_ok == len(bench["timed"]) else 1)
+
 def main():
     import duckdb, pandas as pd
+    if "--bench-sql" in sys.argv:
+        bench_sql_check(); return
     run_verify()
     oracle = json.load(open(os.path.join(OUT, "oracle_sql.json")))
     con = duckdb.connect()
@@ -62,7 +95,8 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     results = {}
     names = sorted(oracle) if ONLY is None else sorted(set(oracle) & ONLY)
-    spark_only = sorted(set(os.listdir(OUT)) - set(oracle) - {"oracle_sql.json"})
+    spark_only = sorted(set(os.listdir(OUT)) - set(oracle)
+                        - {"oracle_sql.json", "oracle_bench_sql.json"})
     for name in names:
         pdir = os.path.join(OUT, name)
         if not os.path.isdir(pdir):

@@ -71,6 +71,25 @@ def main():
         keep = set(only.split(","))
         names = [n for n in names if n in keep]
 
+    # Symmetrized ANN timing (round-14 advice): the Spark bench amortizes
+    # index artifacts (k-means seeds, inverted lists, PQ codebook/codes)
+    # across samples via its per-JVM AnnIndex cache, so the oracle gets the
+    # same treatment — artifact temp tables built ONCE, untimed, and the
+    # index-bearing queries timed as marginal probes against them. Emitted
+    # by the Scala side next to oracle_sql.json; absent file = old behavior.
+    bench_sql_path = os.path.join(OUT, "oracle_bench_sql.json")
+    if os.path.exists(bench_sql_path):
+        bench_sql = json.load(open(bench_sql_path))
+        t0 = time.perf_counter()
+        for tbl, sql in bench_sql.get("setup", []):
+            con.execute(f"CREATE OR REPLACE TEMP TABLE {tbl} AS {sql}")
+        overrides = {k: v for k, v in bench_sql.get("timed", {}).items()
+                     if k in names}
+        print(f"[oracle] {len(bench_sql.get('setup', []))} index artifacts "
+              f"materialized untimed in {time.perf_counter() - t0:.2f}s; "
+              f"{len(overrides)} timed overrides", file=sys.stderr)
+        oracle = dict(oracle, **overrides)
+
     def once(name):
         t0 = time.perf_counter()
         try:
