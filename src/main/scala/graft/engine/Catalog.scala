@@ -21,6 +21,27 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   // id -> external parquet location registered via link() (no data copy)
   private val external = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // id -> known read schema. A schemaless parquet read runs a 1-task footer
+  // job for inference — pure floor cost in a DAG, where the catalog itself
+  // wrote the dataset one node earlier and KNOWS its schema (and where a
+  // linked input's schema is immutable for the catalog's lifetime). Measured
+  // on the 4-node as-of DAG at sf0.1: ~6 such jobs × 0.1-0.3s each. The map
+  // is advisory: entries are dropped on link/drop, copied on copy/snapshot,
+  // and normalized to the all-nullable form a parquet read reports.
+  private val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def asReadSchema(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = asReadSchema(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = asReadSchema(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = asReadSchema(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   def path(id: String): String =
     Option(external.get(id)).getOrElse(s"$baseDir/$id.parquet")
 
@@ -30,6 +51,7 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     * writes to a linked id fall back to the catalog's own namespace. */
   def link(id: String, externalPath: String): Unit = {
     external.put(id, externalPath)
+    schemas.remove(id)
     ()
   }
 
@@ -50,12 +72,21 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
 
   def read(id: String): DataFrame = readAny(id, spark)
 
-  /** Read an id for an arbitrary session (in-db table or parquet dataset). */
+  /** Read an id for an arbitrary session (in-db table or parquet dataset).
+    * A known schema (recorded at write time, or inferred once by the first
+    * schemaless read) skips the per-read footer-inference job. */
   def readAny(id: String, s: SparkSession): DataFrame =
     Option(tables.get(id)) match {
       case Some(df) if df.sparkSession eq s => df
       case Some(df) => s.createDataFrame(df.rdd, df.schema) // rebind cached data
-      case None => s.read.parquet(path(id))
+      case None =>
+        Option(schemas.get(id)) match {
+          case Some(sch) => s.read.schema(sch).parquet(path(id))
+          case None =>
+            val df = s.read.parquet(path(id))
+            schemas.put(id, df.schema)
+            df
+        }
     }
 
   /** Full overwrite per run — the reference has no updates (storage.py:151-155).
@@ -63,6 +94,8 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   def write(df: DataFrame, id: String): Unit = {
     external.remove(id)
     df.write.mode(SaveMode.Overwrite).parquet(path(id))
+    schemas.put(id, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+    ()
   }
 
   /** Hive-style partitioned overwrite: one directory per partition value, so
@@ -114,6 +147,7 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
 
   def drop(id: String): Unit = {
     Option(tables.remove(id)).foreach(_.unpersist())
+    schemas.remove(id)
     val p = new Path(path(id))
     val f = fs(p)
     if (f.exists(p)) f.delete(p, true)
@@ -126,6 +160,7 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     val f = fs(src)
     if (f.exists(dst)) f.delete(dst, true)
     FileUtil.copy(f, src, fs(dst), dst, false, spark.sparkContext.hadoopConfiguration)
+    Option(schemas.get(fromId)).foreach(schemas.put(toId, _))
     ()
   }
 
@@ -143,6 +178,7 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     FileUtil.copy(f, src, f, tmp, false, spark.sparkContext.hadoopConfiguration)
     if (f.exists(dst)) f.delete(dst, true)
     f.rename(tmp, dst)
+    Option(schemas.get(id)).foreach(schemas.put(cacheId(id), _))
     ()
   }
   def existsCache(id: String): Boolean = exists(cacheId(id))
