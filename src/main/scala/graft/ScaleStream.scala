@@ -167,12 +167,21 @@ object ScaleStream {
     // RocksDB's with the STATE DELTA (and state lives off-heap). Recording
     // both keeps the trade auditable instead of folklore.
     def withStateProvider[A](rocks: Boolean)(body: => A): A = {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      if (rocks)
-        spark.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      else spark.conf.unset(key)
-      try body finally spark.conf.unset(key)
+      // The RocksDB side runs TUNED (r15, after the r14 54.8s-vs-17.6s gap):
+      // changelog checkpointing uploads per-commit deltas instead of
+      // snapshotting the full store every commit — the dominant cost when
+      // state turns over ~2.2M rows per batch — and a larger write buffer
+      // cuts memtable flush churn. Emission equality vs the default
+      // provider is still asserted below, so the tune cannot change results.
+      val confs: Map[String, String] =
+        if (rocks) Map(
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+          "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "128")
+        else Map.empty
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally confs.keys.foreach(spark.conf.unset)
     }
 
     // 2) native session_window sessionization (30 min gap), 4 micro-batches,

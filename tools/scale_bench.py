@@ -217,11 +217,18 @@ def table(merged):
         fl = merged["scale_flagship"]
         ss = fl["stage_secs"]
         stages = " + ".join(f"{k} {v:.0f}s" for k, v in ss.items())
+        linearity = ""
+        if len(fl.get("points", [])) > 1:
+            pts = fl["points"]
+            linearity = "; linearity " + " vs ".join(
+                f"×{p['copies']}: result {p['result_sec']:.0f}s / "
+                f"{p['graph_rows']:,} rows" for p in pts)
         rows += [
             ("Flagship pipeline (extract→ER→rewrite→group→validate→graph)",
              f"×{fl['copies']}: {fl['lineitems']:,} lineitems / {fl['parts']:,} parts",
              f"{fl['total_sec']:.0f}s = {stages} ({fl['graph_rows']:,} graph rows, "
-             f"{fl['er_mapping_rows']:,} ER rewrites, validators pass: {fl['validators_pass']})",
+             f"{fl['er_mapping_rows']:,} ER rewrites, validators pass: "
+             f"{fl['validators_pass']}{linearity})",
              f"{max(fl['stage_stragglers'].values()):.2f}"),
         ]
     if "scale_stream" in merged:
