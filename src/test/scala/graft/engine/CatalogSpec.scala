@@ -93,6 +93,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(files === 4)
   }
 
+  test("memoized read schema: write-then-read needs no inference, stays correct after overwrite") {
+    val cat = freshCat()
+    // write a non-nullable column: the memoized schema must come back in the
+    // all-nullable form a schemaless parquet read would report, so plans are
+    // identical either way
+    cat.write(spark.range(3).select(col("id"), lit("k").as("s")), "m1")
+    val back = cat.read("m1")
+    assert(back.schema.fields.forall(_.nullable), s"memoized schema must be all-nullable: ${back.schema}")
+    assert(TestSpark.rows(back) === Set(Seq(0L, "k"), Seq(1L, "k"), Seq(2L, "k")))
+    // overwrite with a DIFFERENT schema: the memo must follow the write
+    cat.write(Seq((1, 2.5)).toDF("a", "b"), "m1")
+    assert(cat.read("m1").schema.fieldNames.toSeq === Seq("a", "b"))
+    // reads from a different session reuse the memo (the SqlNode newSession path)
+    val s2 = spark.newSession()
+    assert(TestSpark.rows(cat.readAny("m1", s2)) === Set(Seq(1, 2.5)))
+    // copy and snapshot carry the schema with the data
+    cat.copy("m1", "m2")
+    assert(cat.read("m2").schema.fieldNames.toSeq === Seq("a", "b"))
+    cat.snapshot("m1")
+    assert(cat.loadCache("m1").schema.fieldNames.toSeq === Seq("a", "b"))
+  }
+
   test("link reads an external dataset without copying; write stays internal") {
     val cat = freshCat()
     val extDir = Files.createTempDirectory("graft_ext").toString
