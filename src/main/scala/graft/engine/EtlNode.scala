@@ -72,6 +72,17 @@ class SqlNode(
     // into the long-lived session, and concurrent nodes sharing an input id
     // cannot race on register/drop of the same view name
     val s = cat.spark.newSession()
+    // Node-scoped broadcast ceiling: every leaf this session sees is a
+    // Catalog-managed parquet dataset, so plan-time size estimates are exact
+    // file sizes — and a dimension table of tens of MB joined against a
+    // fan-out fact stream must broadcast, not sort-merge. Spark's 10 MB
+    // default is sized for small driver heaps; measured here (ScaleFlagship
+    // ×250): the final graph join's 15 MB customer-node side crossing 10 MB
+    // flipped a 685M-row stream from BroadcastHashJoin to SortMergeJoin and
+    // cost 568s where ~75s is linear. 64 MB parquet ≈ a few hundred MB
+    // hashed — routine broadcast traffic on a production cluster, and the
+    // conf is scoped to this node's session, never the caller's.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     inputIds.foreach(id => cat.readAny(id, s).createOrReplaceTempView(id))
     outputIds.foreach { out =>
       val sql = sqls(out)
