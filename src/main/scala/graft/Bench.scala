@@ -198,18 +198,23 @@ object Bench {
       // holds; subset runs land in BENCH_PARTIAL.json instead.
       try {
         val full = java.nio.file.Paths.get("BENCH_FULL.json")
-        val priorN =
+        val prior =
           if (java.nio.file.Files.exists(full))
-            """"n_queries":(\d+)""".r
-              .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(full),
-                java.nio.charset.StandardCharsets.UTF_8))
-              .map(_.group(1).toInt).getOrElse(0)
-          else 0
+            new String(java.nio.file.Files.readAllBytes(full),
+              java.nio.charset.StandardCharsets.UTF_8)
+          else ""
+        val priorN = """"n_queries":(\d+)""".r
+          .findFirstMatchIn(prior).map(_.group(1).toInt).getOrElse(0)
+        // the record's SF must match too (round-15 postmortem: a full-count
+        // sf0.001 verification run clobbered the sf0.1 record — query COUNT
+        // alone doesn't identify the workload)
+        val priorSf = """"sf":"([^"]+)"""".r
+          .findFirstMatchIn(prior).map(_.group(1)).getOrElse(sfDir)
         val target =
-          if (best.size >= priorN) full
+          if (best.size >= priorN && sfDir == priorSf) full
           else {
-            System.err.println(s"[bench] run covers ${best.size} < $priorN queries; " +
-              "writing BENCH_PARTIAL.json (BENCH_FULL.json untouched)")
+            System.err.println(s"[bench] run covers ${best.size} queries at $sfDir vs " +
+              s"existing $priorN at $priorSf; writing BENCH_PARTIAL.json (BENCH_FULL.json untouched)")
             java.nio.file.Paths.get("BENCH_PARTIAL.json")
           }
         java.nio.file.Files.write(target,
