@@ -59,6 +59,21 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head.toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** BENCH_FULL narrowing-guard decision (pure, spec-pinned): the full record
+    * accepts a run only when it covers at least as many queries AND the same
+    * SF dir as the record it would replace. Round-10 postmortem: a 1-query
+    * investigation run clobbered the 93-query record; round-15 postmortem: a
+    * full-count sf0.001 verification run clobbered the sf0.1 record — query
+    * count alone doesn't identify the workload. An absent or unparsable
+    * prior record accepts anything (first write wins). */
+  private[graft] def fullRecordAccepts(prior: String, nQueries: Int, sfDir: String): Boolean = {
+    val priorN = """"n_queries":(\d+)""".r
+      .findFirstMatchIn(prior).map(_.group(1).toInt).getOrElse(0)
+    val priorSf = """"sf":"([^"]+)"""".r
+      .findFirstMatchIn(prior).map(_.group(1)).getOrElse(sfDir)
+    nQueries >= priorN && sfDir == priorSf
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -203,18 +218,12 @@ object Bench {
             new String(java.nio.file.Files.readAllBytes(full),
               java.nio.charset.StandardCharsets.UTF_8)
           else ""
-        val priorN = """"n_queries":(\d+)""".r
-          .findFirstMatchIn(prior).map(_.group(1).toInt).getOrElse(0)
-        // the record's SF must match too (round-15 postmortem: a full-count
-        // sf0.001 verification run clobbered the sf0.1 record — query COUNT
-        // alone doesn't identify the workload)
-        val priorSf = """"sf":"([^"]+)"""".r
-          .findFirstMatchIn(prior).map(_.group(1)).getOrElse(sfDir)
         val target =
-          if (best.size >= priorN && sfDir == priorSf) full
+          if (fullRecordAccepts(prior, best.size, sfDir)) full
           else {
             System.err.println(s"[bench] run covers ${best.size} queries at $sfDir vs " +
-              s"existing $priorN at $priorSf; writing BENCH_PARTIAL.json (BENCH_FULL.json untouched)")
+              "a larger or different-SF existing record; writing BENCH_PARTIAL.json " +
+              "(BENCH_FULL.json untouched)")
             java.nio.file.Paths.get("BENCH_PARTIAL.json")
           }
         java.nio.file.Files.write(target,

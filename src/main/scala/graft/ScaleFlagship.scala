@@ -173,6 +173,11 @@ object ScaleFlagship {
     require(messyLeft == 0L, s"$messyLeft link endpoints still carry messy ids after ER rewrite")
     System.err.println(f"[scale_flagship] x$copies total=${stageSecs.values.sum}%.1fs " +
       s"graph_rows=$graphRows")
+    // free this point's corpus + catalog NOW: every count above is already
+    // materialized, and a multi-point run holding all work dirs until JVM
+    // exit stacks ~13 GB (×100) + ~34 GB (×250) + ~55 GB (×400) of parquet
+    // on one disk — eager deletion caps peak usage at the largest point
+    TempCleanup.deleteNow(work)
     Point(copies, counts, stageSecs, stageStragglers, stageLoads, graphRows, mappingRows)
     } // runPoint
 
