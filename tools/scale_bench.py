@@ -213,6 +213,14 @@ def table(merged):
              f"×2 during swap)",
              f"{max(g['stragglers']['pr_shuffle'], g['stragglers']['pr_broadcast']):.2f}"),
         ]
+        if "cc_dist_sec" in g:
+            rows += [
+                ("Connected components: distributed min-label (beyond-gate) vs driver union-find",
+                 "same graph",
+                 f"{g['cc_dist_sec']:.1f}s vs {g['cc_driver_sec']:.1f}s "
+                 f"({g['cc_components']:,} components, labels equal: {g['cc_paths_equal']})",
+                 f"{max(g['stragglers']['cc_dist'], g['stragglers']['cc_driver']):.2f}"),
+            ]
     if "scale_flagship" in merged:
         fl = merged["scale_flagship"]
         ss = fl["stage_secs"]
