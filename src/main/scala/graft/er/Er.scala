@@ -197,7 +197,12 @@ object ConnectedComponents {
     * driver and a few ms of union-find, vs a fixed ~0.3-0.5s *per round* of
     * stage-scheduling overhead in the distributed loop — which is the correct
     * cost structure at 100 TB (where the edge set can't fit a driver) but pure
-    * floor on the small, already-aggregated pair sets ER blocking emits. */
+    * floor on the small, already-aggregated pair sets ER blocking emits.
+    * Measured at 5× the gate (ScaleGraph, 10M edges, giant component through
+    * a 10^4-degree hub): forced driver union-find 11.6s incl. the collect vs
+    * distributed 27.2s, labels bit-equal — so like the triangle broadcast
+    * gate, this default is a DRIVER-MEMORY bound (~560 MB of collected rows
+    * at 10M edges), not a wall-time crossover. */
   val DriverPathMaxEdges: Long = 2L * 1000 * 1000
 
   /** @param edges two-column DataFrame (src, dst); integral or string ids
