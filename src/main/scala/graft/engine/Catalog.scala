@@ -104,6 +104,11 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     * feature but the scale-correct S2 variant. */
   def writePartitioned(df: DataFrame, id: String, partitionCols: Seq[String]): Unit = {
     external.remove(id)
+    // invalidate (not update) the schema memo: a Hive-layout read derives the
+    // partition columns from directory names, so the first read re-infers and
+    // re-memoizes the layout-correct form; carrying the in-memory schema over
+    // would serve a stale memo if this overwrites a plain write() dataset
+    schemas.remove(id)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path(id))
   }
 
@@ -115,6 +120,7 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   def writeZOrdered(df: DataFrame, id: String, zorderCols: Seq[String],
                     numFiles: Int): Unit = {
     external.remove(id)
+    schemas.remove(id) // overwrite may change the schema; next read re-memoizes
     graft.ops.ZOrder.clusteredWrite(df, zorderCols, path(id), numFiles)
   }
 

@@ -115,6 +115,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.loadCache("m1").schema.fieldNames.toSeq === Seq("a", "b"))
   }
 
+  test("layout overwrites invalidate the schema memo instead of serving it stale") {
+    val cat = freshCat()
+    cat.write(spark.range(4).select(col("id"), lit("t").as("s")), "m3")
+    assert(cat.read("m3").schema.fieldNames.toSeq === Seq("id", "s")) // memoized
+    // partitioned overwrite with a DIFFERENT schema: read must see the new one
+    cat.writePartitioned(
+      Seq((1, "x", 2.0), (2, "y", 3.0)).toDF("k", "part", "v"), "m3", Seq("part"))
+    assert(cat.read("m3").schema.fieldNames.toSet === Set("k", "part", "v"))
+    assert(TestSpark.rows(cat.read("m3").select("k", "part", "v")) ===
+      Set(Seq(1, "x", 2.0), Seq(2, "y", 3.0)))
+    // z-ordered overwrite changes the schema again
+    cat.writeZOrdered(Seq((5L, 6L, "z")).toDF("x", "y", "tag"), "m3",
+      Seq("x", "y"), numFiles = 1)
+    assert(cat.read("m3").schema.fieldNames.toSet === Set("x", "y", "tag"))
+    assert(TestSpark.rows(cat.read("m3")) === Set(Seq(5L, 6L, "z")))
+  }
+
   test("link reads an external dataset without copying; write stays internal") {
     val cat = freshCat()
     val extDir = Files.createTempDirectory("graft_ext").toString
