@@ -92,9 +92,20 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   /** Full overwrite per run — the reference has no updates (storage.py:151-155).
     * Always writes into the catalog's own namespace, never over a linked input. */
   def write(df: DataFrame, id: String): Unit = {
-    external.remove(id)
+    retire(id)
     df.write.mode(SaveMode.Overwrite).parquet(path(id))
     schemas.put(id, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+    ()
+  }
+
+  /** Every overwrite path must retire the id's previous identity first: the
+    * external link (writes never target linked inputs), the schema memo (the
+    * new dataset may have a new schema), and a cached in-session table (which
+    * readAny would otherwise serve forever, shadowing the new files). */
+  private def retire(id: String): Unit = {
+    external.remove(id)
+    schemas.remove(id)
+    Option(tables.remove(id)).foreach(_.unpersist())
     ()
   }
 
@@ -103,12 +114,10 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     * the layout a 100 TB dataset needs (by date/shard), not a reference
     * feature but the scale-correct S2 variant. */
   def writePartitioned(df: DataFrame, id: String, partitionCols: Seq[String]): Unit = {
-    external.remove(id)
-    // invalidate (not update) the schema memo: a Hive-layout read derives the
-    // partition columns from directory names, so the first read re-infers and
-    // re-memoizes the layout-correct form; carrying the in-memory schema over
-    // would serve a stale memo if this overwrites a plain write() dataset
-    schemas.remove(id)
+    // retire() invalidates (not updates) the schema memo: a Hive-layout read
+    // derives the partition columns from directory names, so the first read
+    // re-infers and re-memoizes the layout-correct form
+    retire(id)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path(id))
   }
 
@@ -119,8 +128,7 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     * sort only on its leading key. See [[graft.ops.ZOrder]]. */
   def writeZOrdered(df: DataFrame, id: String, zorderCols: Seq[String],
                     numFiles: Int): Unit = {
-    external.remove(id)
-    schemas.remove(id) // overwrite may change the schema; next read re-memoizes
+    retire(id)
     graft.ops.ZOrder.clusteredWrite(df, zorderCols, path(id), numFiles)
   }
 
@@ -154,6 +162,10 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   def drop(id: String): Unit = {
     Option(tables.remove(id)).foreach(_.unpersist())
     schemas.remove(id)
+    // a LINKED id is unlinked, never deleted: the catalog must not destroy
+    // data it didn't write (path(id) would resolve to the external location,
+    // so the delete below would remove someone else's input files)
+    if (external.remove(id) != null) return
     val p = new Path(path(id))
     val f = fs(p)
     if (f.exists(p)) f.delete(p, true)
@@ -166,6 +178,11 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     val f = fs(src)
     if (f.exists(dst)) f.delete(dst, true)
     FileUtil.copy(f, src, fs(dst), dst, false, spark.sparkContext.hadoopConfiguration)
+    // the destination takes the SOURCE's identity: its previous memo/table
+    // must not survive the overwrite (schemas.put alone would leave a stale
+    // toId memo behind whenever the source has none)
+    schemas.remove(toId)
+    Option(tables.remove(toId)).foreach(_.unpersist())
     Option(schemas.get(fromId)).foreach(schemas.put(toId, _))
     ()
   }
@@ -184,6 +201,7 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     FileUtil.copy(f, src, f, tmp, false, spark.sparkContext.hadoopConfiguration)
     if (f.exists(dst)) f.delete(dst, true)
     f.rename(tmp, dst)
+    schemas.remove(cacheId(id)) // same rule as copy: no stale destination memo
     Option(schemas.get(id)).foreach(schemas.put(cacheId(id), _))
     ()
   }

@@ -132,6 +132,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(TestSpark.rows(cat.read("m3")) === Set(Seq(5L, 6L, "z")))
   }
 
+  test("write over a registered table evicts the cached table, not serves it stale") {
+    val cat = freshCat()
+    cat.registerTable(Seq((1, "old")).toDF("k", "v"), "m4")
+    assert(TestSpark.rows(cat.read("m4")) === Set(Seq(1, "old")))
+    cat.write(Seq((2, "new")).toDF("k", "v"), "m4")
+    assert(TestSpark.rows(cat.read("m4")) === Set(Seq(2, "new")))
+  }
+
+  test("copy clears the destination's stale memo when the source has none") {
+    val cat = freshCat()
+    cat.write(Seq((1, 1.0)).toDF("a", "b"), "dst") // memoizes (a, b) for dst
+    // a source the catalog has never read or written: no memo for it
+    val extDir = Files.createTempDirectory("graft_ext_copy").toString
+    spark.range(2).select(col("id"), lit("s").as("txt"))
+      .write.mode("overwrite").parquet(s"$extDir/src.parquet")
+    cat.link("srcx", s"$extDir/src.parquet")
+    cat.copy("srcx", "dst")
+    assert(cat.read("dst").schema.fieldNames.toSeq === Seq("id", "txt"))
+    assert(TestSpark.rows(cat.read("dst")) === Set(Seq(0L, "s"), Seq(1L, "s")))
+  }
+
+  test("drop of a linked id unlinks without deleting the external files") {
+    val cat = freshCat()
+    val extDir = Files.createTempDirectory("graft_ext_drop").toString
+    spark.range(3).write.mode("overwrite").parquet(s"$extDir/keep.parquet")
+    cat.link("lnk", s"$extDir/keep.parquet")
+    assert(cat.read("lnk").count() === 3)
+    cat.drop("lnk")
+    // external data untouched; the id no longer resolves to it
+    assert(spark.read.parquet(s"$extDir/keep.parquet").count() === 3)
+    assert(!cat.exists("lnk"))
+  }
+
   test("link reads an external dataset without copying; write stays internal") {
     val cat = freshCat()
     val extDir = Files.createTempDirectory("graft_ext").toString
