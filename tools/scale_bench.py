@@ -297,7 +297,27 @@ def main():
                 return {f: r[f] for f in INPUT_FIELDS if f in r}
             same = old is not None and workload(old) == workload(rec)
             covers = same and all(f in old for f in rec if f.endswith("_sec"))
-            if covers and k in PRIMARY and PRIMARY[k](old) <= PRIMARY[k](rec):
+            # downsize ratchet (two postmortems: a 100k-doc default rerun
+            # clobbered the 1.25M-doc dedup record, then a default sweep
+            # clobbered the 250-copy dedup AND ann records): a run whose
+            # every numeric input is <= the stored record's — and at least
+            # one strictly smaller — is a smaller workload, and replacing a
+            # big-scale proof with it is never what a sweep means. Grow or
+            # reshape replaces (with the warning); shrink requires intent.
+            def downsized(o, r):
+                keys = set(workload(o)) & set(workload(r))
+                nums = [(o[f], r[f]) for f in keys
+                        if isinstance(o[f], (int, float)) and isinstance(r[f], (int, float))]
+                return (nums and all(rv <= ov for ov, rv in nums)
+                        and any(rv < ov for ov, rv in nums))
+            allow_shrink = os.environ.get("SCALE_ALLOW_DOWNSIZE") == "1"
+            if (old is not None and not same and not allow_shrink
+                    and downsized(old, rec)):
+                print(f"[scale] keeping existing {k} record: this run is a "
+                      f"SMALLER workload {workload(rec)} than the stored "
+                      f"{workload(old)} (SCALE_ALLOW_DOWNSIZE=1 to override)",
+                      file=sys.stderr)
+            elif covers and k in PRIMARY and PRIMARY[k](old) <= PRIMARY[k](rec):
                 print(f"[scale] keeping existing {k} record "
                       f"({PRIMARY[k](old):.1f}s <= {PRIMARY[k](rec):.1f}s)", file=sys.stderr)
             else:
