@@ -218,7 +218,7 @@ def table(merged):
                 ("Connected components: distributed min-label (beyond-gate) vs driver union-find",
                  "same graph",
                  f"{g['cc_dist_sec']:.1f}s vs {g['cc_driver_sec']:.1f}s "
-                 f"({g['cc_components']:,} components, labels equal: {g['cc_paths_equal']})",
+                 f"(components={g['cc_components']:,}, labels equal: {g['cc_paths_equal']})",
                  f"{max(g['stragglers']['cc_dist'], g['stragglers']['cc_driver']):.2f}"),
             ]
     if "scale_flagship" in merged:
