@@ -169,20 +169,32 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     val p = new Path(path(id))
     val f = fs(p)
     if (f.exists(p)) f.delete(p, true)
+    // a pointer-published snapshot (object-store path) keeps its data in a
+    // versioned directory named by the pointer — remove both
+    val ptr = new Path(s"$baseDir/$id.ptr")
+    if (f.exists(ptr)) {
+      val in = f.open(ptr)
+      val ver = try new Path(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      if (f.exists(ver)) f.delete(ver, true)
+      f.delete(ptr, false)
+    }
     ()
   }
 
   def copy(fromId: String, toId: String): Unit = {
     val src = new Path(path(fromId))
+    // retire the DESTINATION's previous identity BEFORE resolving its path:
+    // copy is an overwrite, and the one-retirement-per-overwrite rule applies
+    // — with toId still linked, path(toId) would resolve to the external
+    // location and the delete+copy below would clobber data the catalog
+    // didn't write (the same hazard drop() guards against). After retire the
+    // copy lands in the catalog's own namespace, like write().
+    retire(toId)
     val dst = new Path(path(toId))
     val f = fs(src)
     if (f.exists(dst)) f.delete(dst, true)
     FileUtil.copy(f, src, fs(dst), dst, false, spark.sparkContext.hadoopConfiguration)
-    // the destination takes the SOURCE's identity: its previous memo/table
-    // must not survive the overwrite (schemas.put alone would leave a stale
-    // toId memo behind whenever the source has none)
-    schemas.remove(toId)
-    Option(tables.remove(toId)).foreach(_.unpersist())
     Option(schemas.get(fromId)).foreach(schemas.put(toId, _))
     ()
   }
@@ -190,23 +202,101 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   // --- incremental-cache snapshots (reference etl.py:86-127) ---
   def cacheId(id: String): String = id + "_cache"
 
-  /** Snapshot `id` to `{id}_cache`. Copies to a temp name then renames, so a reader
-    * of the cache never observes a half-copied dataset, and two concurrent
-    * snapshots of the same id cannot corrupt it (last rename wins atomically). */
+  /** True when the filesystem gives ATOMIC directory rename — the property
+    * [[snapshot]]'s copy-then-rename publication relies on. HDFS and local
+    * FS do; object stores (s3a, gs, abfs, …) emulate rename as
+    * copy-object-per-key + delete, so a concurrent reader can observe a
+    * half-renamed dataset. Overridable via sys prop `graft.fs.atomicRename`
+    * (for tests and for schemes this list misjudges). */
+  protected def atomicRename(f: FileSystem): Boolean =
+    sys.props.get("graft.fs.atomicRename").map(_.toBoolean).getOrElse {
+      val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
+      !Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+        "cos", "cosn", "swift", "oci").contains(scheme)
+    }
+
+  private def cachePtr(id: String) = new Path(s"$baseDir/${cacheId(id)}.ptr")
+
+  /** Where the current cache snapshot for `id` lives: the pointer file's
+    * target when one exists (object-store path), else the fixed rename
+    * destination. */
+  private def cachePath(id: String): Path = {
+    val ptr = cachePtr(id)
+    val f = fs(ptr)
+    if (f.exists(ptr)) {
+      val in = f.open(ptr)
+      try new Path(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } else new Path(s"$baseDir/${cacheId(id)}.parquet")
+  }
+
+  /** Snapshot `id` to `{id}_cache`.
+    *
+    * On a rename-atomic FS (local/HDFS): copy to a temp name then rename, so
+    * a reader of the cache never observes a half-copied dataset, and two
+    * concurrent snapshots of the same id cannot corrupt it (last rename wins
+    * atomically).
+    *
+    * On an object store (no atomic rename): copy into a fresh VERSIONED
+    * directory nobody reads yet, then publish it by overwriting a small
+    * pointer file — a single-object PUT, whose visibility IS atomic on
+    * object stores — and delete the previous version. Readers resolve the
+    * pointer, so they only ever see a fully-written snapshot.
+    *
+    * An id held as an in-session table (InDb outputs) has no source files to
+    * copy; its snapshot writes the cached rows straight to the cache path. */
   def snapshot(id: String): Unit = {
-    val src = new Path(path(id))
-    val tmp = new Path(s"$baseDir/.${id}_cache.tmp${System.nanoTime()}")
-    val dst = new Path(s"$baseDir/${cacheId(id)}.parquet")
-    val f = fs(src)
-    FileUtil.copy(f, src, f, tmp, false, spark.sparkContext.hadoopConfiguration)
-    if (f.exists(dst)) f.delete(dst, true)
-    f.rename(tmp, dst)
-    schemas.remove(cacheId(id)) // same rule as copy: no stale destination memo
-    Option(schemas.get(id)).foreach(schemas.put(cacheId(id), _))
+    val cid = cacheId(id)
+    Option(tables.get(id)) match {
+      case Some(df) =>
+        val dst = new Path(s"$baseDir/$cid.parquet")
+        df.write.mode(SaveMode.Overwrite).parquet(dst.toString)
+        val f = fs(dst)
+        if (f.exists(cachePtr(id))) f.delete(cachePtr(id), false)
+        schemas.remove(cid)
+        schemas.put(cid, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None =>
+        val src = new Path(path(id))
+        val f = fs(src)
+        if (atomicRename(f)) {
+          val tmp = new Path(s"$baseDir/.$cid.tmp${System.nanoTime()}")
+          val dst = new Path(s"$baseDir/$cid.parquet")
+          FileUtil.copy(f, src, f, tmp, false, spark.sparkContext.hadoopConfiguration)
+          if (f.exists(dst)) f.delete(dst, true)
+          f.rename(tmp, dst)
+          if (f.exists(cachePtr(id))) f.delete(cachePtr(id), false)
+        } else {
+          val prev = if (f.exists(cachePtr(id))) Some(cachePath(id)) else None
+          val ver = new Path(s"$baseDir/.$cid.v${System.nanoTime()}")
+          FileUtil.copy(f, src, f, ver, false, spark.sparkContext.hadoopConfiguration)
+          val out = f.create(cachePtr(id), true) // atomic-visibility PUT
+          try out.write(ver.toString.getBytes("UTF-8"))
+          finally out.close()
+          // retire the superseded version and any legacy fixed-path snapshot
+          // (both now unreachable: readers resolve the pointer first)
+          prev.filter(p => p != ver && f.exists(p)).foreach(f.delete(_, true))
+          val legacy = new Path(s"$baseDir/$cid.parquet")
+          if (f.exists(legacy)) f.delete(legacy, true)
+        }
+        schemas.remove(cid) // same rule as copy: no stale destination memo
+        Option(schemas.get(id)).foreach(schemas.put(cid, _))
+    }
     ()
   }
-  def existsCache(id: String): Boolean = exists(cacheId(id))
-  def loadCache(id: String): DataFrame = read(cacheId(id))
+
+  def existsCache(id: String): Boolean = {
+    val p = cachePath(id)
+    fs(p).exists(p)
+  }
+
+  def loadCache(id: String): DataFrame =
+    Option(schemas.get(cacheId(id))) match {
+      case Some(sch) => spark.read.schema(sch).parquet(cachePath(id).toString)
+      case None =>
+        val df = spark.read.parquet(cachePath(id).toString)
+        schemas.put(cacheId(id), df.schema)
+        df
+    }
 
   // --- small JSON objects (configs / model artifacts; reference storage.py:77-112) ---
   def jsonPath(id: String): String = s"$baseDir/$id.json"

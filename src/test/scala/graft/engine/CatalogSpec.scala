@@ -165,6 +165,58 @@ class CatalogSpec extends AnyFunSuite {
     assert(!cat.exists("lnk"))
   }
 
+  test("copy onto a LINKED id lands in the catalog namespace, external data untouched") {
+    val cat = freshCat()
+    val extDir = Files.createTempDirectory("graft_ext_copy_dst").toString
+    Seq((9, "keep")).toDF("id", "s").write.parquet(s"$extDir/linked.parquet")
+    cat.link("dst", s"$extDir/linked.parquet")
+    cat.write(Seq((1, "src")).toDF("id", "s"), "src")
+    cat.copy("src", "dst")
+    // the copy must NOT have deleted or overwritten the external dataset
+    assert(TestSpark.rows(spark.read.parquet(s"$extDir/linked.parquet")) === Set(Seq(9, "keep")))
+    // the id now resolves to the copied data in the catalog's own namespace
+    assert(TestSpark.rows(cat.read("dst")) === Set(Seq(1, "src")))
+    assert(cat.path("dst") === s"${cat.baseDir}/dst.parquet")
+  }
+
+  test("snapshot without atomic rename publishes via pointer; readers see whole versions") {
+    // simulate an object store: force the capability check to false
+    System.setProperty("graft.fs.atomicRename", "false")
+    try {
+      val cat = freshCat()
+      cat.write(Seq(1, 2).toDF("v"), "d")
+      cat.snapshot("d")
+      assert(cat.existsCache("d"))
+      assert(TestSpark.rows(cat.loadCache("d")) === Set(Seq(1), Seq(2)))
+      // the snapshot lives in a versioned dir named by the pointer file, not
+      // at the fixed rename destination
+      val ptr = new java.io.File(s"${cat.baseDir}/d_cache.ptr")
+      assert(ptr.exists(), "pointer file must exist in non-atomic-rename mode")
+      val ver1 = scala.io.Source.fromFile(ptr).mkString.trim
+      assert(new java.io.File(ver1.stripPrefix("file:")).exists(), s"version dir missing: $ver1")
+      // re-snapshot swaps the pointer to a new version and retires the old one
+      cat.write(Seq(7).toDF("v"), "d")
+      cat.snapshot("d")
+      val ver2 = scala.io.Source.fromFile(ptr).mkString.trim
+      assert(ver2 !== ver1)
+      assert(TestSpark.rows(cat.loadCache("d")) === Set(Seq(7)))
+      assert(!new java.io.File(ver1.stripPrefix("file:")).exists(),
+        "superseded snapshot version must be deleted")
+      // drop removes pointer + version
+      cat.drop(cat.cacheId("d"))
+      assert(!ptr.exists())
+      assert(!cat.existsCache("d"))
+    } finally System.clearProperty("graft.fs.atomicRename")
+  }
+
+  test("snapshot of an in-session (InDb) table writes the cached rows") {
+    val cat = freshCat()
+    cat.registerTable(Seq((1, "a"), (2, "b")).toDF("k", "v"), "mem")
+    cat.snapshot("mem")
+    assert(cat.existsCache("mem"))
+    assert(TestSpark.rows(cat.loadCache("mem")) === Set(Seq(1, "a"), Seq(2, "b")))
+  }
+
   test("link reads an external dataset without copying; write stays internal") {
     val cat = freshCat()
     val extDir = Files.createTempDirectory("graft_ext").toString
