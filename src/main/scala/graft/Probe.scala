@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("floor")) { floorProbe(); return }
+    if (args.headOption.contains("gtv")) { gtvProbe(); return }
     if (args.headOption.contains("stream")) { streamProbe(); return }
     if (args.headOption.contains("graph")) { graphProbe(args.drop(1).headOption.getOrElse("q_graph_triangles")); return }
     val copies = sys.env.getOrElse("SCALE_COPIES", "20").toInt
@@ -158,6 +159,27 @@ object Probe {
 
   /** Fresh-session trivial-query cost breakdown, run K times (mirrors one
     * Bench sample: build a session, read a table, hash-reduce it). */
+  /** Does a cross-session global-temp-view read substitute the cached
+    * InMemoryRelation (accurate stats, no recompute)? The Catalog's in-db
+    * hand-off depends on it. */
+  private def gtvProbe(): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v").groupBy("k").count()
+    df.persist(); df.count()
+    df.createOrReplaceGlobalTempView("gt_probe")
+    val s2 = spark.newSession()
+    val back = s2.table("global_temp.gt_probe")
+    val plan = back.queryExecution.executedPlan.toString
+    println(plan)
+    println("HAS_INMEM=" + plan.contains("InMemory"))
+    println("STATS=" + back.queryExecution.optimizedPlan.stats.sizeInBytes)
+    spark.stop()
+  }
+
   private def floorProbe(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

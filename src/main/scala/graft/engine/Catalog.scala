@@ -62,10 +62,38 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   // the cache itself lives in SharedState, so any session can consume them
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** Keep a result as a cached table instead of a parquet dataset. */
+  // catalog-scoped global-temp-view name for an in-db table: global temp
+  // views live in one JVM-wide namespace, so two Catalogs registering the
+  // same id must not collide
+  private val uid = java.lang.Long.toHexString(System.nanoTime())
+  private def gtvName(id: String) = s"graft_${uid}_$id"
+
+  /** Keep a result as a cached table instead of a parquet dataset. Also
+    * publishes it as a catalog-scoped GLOBAL temp view: a consumer session
+    * resolving the view gets the same analyzed plan, so the shared
+    * CacheManager substitutes the materialized InMemoryRelation — accurate
+    * size stats (broadcast decisions keep working) and columnar reads, where
+    * an RDD rebind would deserialize row-by-row and report unknown size. */
   def registerTable(df: DataFrame, id: String): Unit = {
     df.persist()
     df.count() // materialize eagerly so downstream nodes read the cache
+    df.createOrReplaceGlobalTempView(gtvName(id))
+    tables.put(id, df)
+    ()
+  }
+
+  /** LAZY in-db hand-off (the [[markInDb]] write path): the plan is
+    * published but NOT materialized — downstream nodes compose over it, so a
+    * whole DAG of intermediates fuses into its terminal actions, each one
+    * Catalyst-optimized end-to-end. Deliberately no persist(): measured at
+    * sf0.1 on the 4-node as-of DAG, pure composition beat the parquet
+    * hand-off 1.42s vs 2.30s while BOTH cached variants (eager count, lazy
+    * persist-marked) were SLOWER than parquet (3.3-4.1s) — building the
+    * columnar cache costs more than recomputing cheap intermediates. The
+    * trade is per-node failure attribution: a runtime error surfaces at the
+    * terminal node (analysis errors still surface at their own node). */
+  private def registerLazyTable(df: DataFrame, id: String): Unit = {
+    df.createOrReplaceGlobalTempView(gtvName(id))
     tables.put(id, df)
     ()
   }
@@ -78,7 +106,7 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   def readAny(id: String, s: SparkSession): DataFrame =
     Option(tables.get(id)) match {
       case Some(df) if df.sparkSession eq s => df
-      case Some(df) => s.createDataFrame(df.rdd, df.schema) // rebind cached data
+      case Some(_) => s.table(s"global_temp.`${gtvName(id)}`") // same plan -> cache hit
       case None =>
         Option(schemas.get(id)) match {
           case Some(sch) => s.read.schema(sch).parquet(path(id))
@@ -89,12 +117,30 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
         }
     }
 
+  // ids whose write() lands as a lazy in-session plan instead of parquet —
+  // DAG-internal intermediates that exist only to hand rows to the next
+  // node pay a parquet encode + commit + footer-read + job-boundary floor
+  // per hop for no durability benefit. See [[EtlGroup.execute]]'s
+  // inDbIntermediates and [[registerLazyTable]] for the measured trade.
+  private val inDbIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Route future [[write]]s of `ids` to lazy in-session plans (the
+    * RDB-storage configuration applied per-id rather than per-node). Marked
+    * ids stay readable through [[read]]/[[readAny]] like any other id. */
+  def markInDb(ids: Seq[String]): Unit = {
+    ids.foreach(inDbIds.add)
+    ()
+  }
+
   /** Full overwrite per run — the reference has no updates (storage.py:151-155).
     * Always writes into the catalog's own namespace, never over a linked input. */
   def write(df: DataFrame, id: String): Unit = {
     retire(id)
-    df.write.mode(SaveMode.Overwrite).parquet(path(id))
-    schemas.put(id, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+    if (inDbIds.contains(id)) registerLazyTable(df, id)
+    else {
+      df.write.mode(SaveMode.Overwrite).parquet(path(id))
+      schemas.put(id, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
     ()
   }
 
@@ -105,7 +151,10 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   private def retire(id: String): Unit = {
     external.remove(id)
     schemas.remove(id)
-    Option(tables.remove(id)).foreach(_.unpersist())
+    Option(tables.remove(id)).foreach { df =>
+      spark.catalog.dropGlobalTempView(gtvName(id))
+      df.unpersist()
+    }
     ()
   }
 
@@ -160,7 +209,10 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     }
 
   def drop(id: String): Unit = {
-    Option(tables.remove(id)).foreach(_.unpersist())
+    Option(tables.remove(id)).foreach { df =>
+      spark.catalog.dropGlobalTempView(gtvName(id))
+      df.unpersist()
+    }
     schemas.remove(id)
     // a LINKED id is unlinked, never deleted: the catalog must not destroy
     // data it didn't write (path(id) would resolve to the external location,

@@ -306,8 +306,15 @@ object MiscQueries {
             |  coalesce(a.n_windows, CAST(0 AS BIGINT)) AS n_windows
             |FROM dag_clicks_enriched e
             |LEFT JOIN dag_click_attribution a ON e.event_id = a.event_id""".stripMargin))
+      // DAG-internal hand-offs compose lazily (inDbIntermediates): with ONE
+      // terminal action the whole 4-node DAG collapses into a single
+      // Catalyst-optimized query — the same shape the DuckDB oracle runs its
+      // CTE formulation as. Measured A/B at sf0.1: 1.42s composed vs 2.30s
+      // parquet hand-off (-38%); eager per-edge caching variants measured
+      // SLOWER than parquet (3.3-4.1s) — materialization, not parquet,
+      // was the floor.
       new EtlGroup("asof_dag", Seq(extract, enrich, attrib, result))
-        .execute(cat, maxActiveRun = 2)
+        .execute(cat, maxActiveRun = 2, inDbIntermediates = true)
       cat.read("asof_dag_result")
     }),
 

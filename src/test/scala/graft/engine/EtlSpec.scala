@@ -144,6 +144,25 @@ class EtlSpec extends AnyFunSuite {
     assert(!cat.exists("mid"))
   }
 
+  test("inDbIntermediates: DAG-internal hand-offs never hit the filesystem, results identical") {
+    val cat = freshCat()
+    cat.write(Seq((1, "a"), (2, "b"), (3, "a")).toDF("k", "tag"), "src")
+    val g = new EtlGroup("g_indb", Seq(
+      new SqlNode("n1", Seq("src"), Map("mid1" -> "SELECT k, tag FROM src WHERE k > 1")),
+      new DfNode("n2", Seq("mid1"), Seq("mid2"),
+        fn = { case Seq(m) => Seq(m.filter(col("tag") === "a")) }),
+      new SqlNode("n3", Seq("mid2"), Map("fin_indb" -> "SELECT k FROM mid2"))))
+    g.execute(cat, maxActiveRun = 2, inDbIntermediates = true)
+    assert(TestSpark.rows(cat.read("fin_indb")) === Set(Seq(3)))
+    // intermediates exist as in-session tables, not as parquet datasets
+    assert(cat.exists("mid1") && cat.exists("mid2"))
+    assert(!new java.io.File(s"${cat.baseDir}/mid1.parquet").exists(),
+      "in-db intermediate must not be written to the filesystem")
+    assert(!new java.io.File(s"${cat.baseDir}/mid2.parquet").exists())
+    // the group output IS durable parquet
+    assert(new java.io.File(s"${cat.baseDir}/fin_indb.parquet").exists())
+  }
+
   test("concurrency cap is respected") {
     val cat = freshCat()
     val active = new AtomicInteger(0)
