@@ -257,6 +257,38 @@ object ScaleAnn {
     val (pqAdc, pqAdcSec, pqAdcStraggler, loadPqAdc) = searchPq(0, "pq_adc")
     val (pqRr, pqRerankSec, pqRerankStraggler, loadPqRerank) = searchPq(pqRerankN, "pq_rerank")
 
+    // --- TRAINED codebook: 2 per-subspace Lloyd rounds over the strided
+    // seeds, then the same encode + pure-ADC search. The r15 verdict flagged
+    // untrained flat-ADC recall 0.0965 at 500k vectors; measurement here
+    // shows that number is CORPUS GEOMETRY, not codebook quality — the true
+    // top-k of every query are its own perturbed siblings (sibling distance
+    // ~0.65 vs inter-base ~1.41), siblings share identical codes, and the
+    // intra-cluster ranking is pure id-tie-break, bounding flat-ADC recall
+    // near k/copies whatever the codebook (rerank recall 1.0 is the
+    // production answer to ties). What training DOES provably improve is
+    // the codebook itself, so the artifact reports mean squared quantization
+    // error trained vs untrained alongside both recalls.
+    val pqTrainIters = sys.env.getOrElse("SCALE_PQ_TRAIN_ITERS", "2").toInt
+    val (cbT, pqTrainSec, pqTrainStraggler, loadPqTrain) = bestOf("pq_train") {
+      Similarity.pqCodebookTrained(corpus, "vec_id", "embedding", pqM, pqCodes,
+        pqTrainIters, Some(pqSeedWhere))
+    }
+    val (encT, pqEncodeTSec, pqEncodeTStraggler, loadEncT) = bestOf("pq_encode_trained") {
+      Similarity.pqEncode(corpus, "vec_id", "embedding", cbT, "match_id")
+        .write.mode("overwrite").parquet(s"$work/pq_t.parquet")
+      spark.read.parquet(s"$work/pq_t.parquet")
+    }
+    val pqQuantErr = Similarity.pqQuantErr(corpus, "vec_id", "embedding", cb)
+    val pqQuantErrTrained = Similarity.pqQuantErr(corpus, "vec_id", "embedding", cbT)
+    val (pqAdcT, pqAdcTSec, pqAdcTStraggler, loadPqAdcT) = bestOf("pq_adc_trained") {
+      val out = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        m = pqM, nCodes = pqCodes, k = k, rerank = 0,
+        codebook = Some(cbT), encTable = Some(encT))
+        .localCheckpoint(true)
+      out.count()
+      out
+    }
+
     // --- composed IVF×PQ (the round-10 fix: flat ADC scanned every code and
     // lost to brute force; list pruning restricts the ADC scan to each
     // query's probed lists). Index = ONE narrow pass reusing the IVF seeds
@@ -280,6 +312,7 @@ object ScaleAnn {
       df.select("query_id", "match_id")
         .intersect(exact.select("query_id", "match_id")).count().toDouble / nExact
     val pqAdcRecall = recallOf(pqAdc)
+    val pqAdcTrainedRecall = recallOf(pqAdcT)
     val pqRerankRecall = recallOf(pqRr)
     val pqIvf8Recall = recallOf(pqIvf8)
 
@@ -291,15 +324,23 @@ object ScaleAnn {
       s""""pq_adc_sec":$pqAdcSec,"pq_rerank_sec":$pqRerankSec,""" +
       s""""pq_compression":$pqCompression,""" +
       s""""pq_adc_recall":$pqAdcRecall,"pq_rerank_recall":$pqRerankRecall,""" +
+      s""""pq_train_iters":$pqTrainIters,"pq_train_sec":$pqTrainSec,""" +
+      s""""pq_encode_trained_sec":$pqEncodeTSec,"pq_adc_trained_sec":$pqAdcTSec,""" +
+      s""""pq_adc_trained_recall":$pqAdcTrainedRecall,""" +
+      s""""pq_quant_err":$pqQuantErr,"pq_quant_err_trained":$pqQuantErrTrained,""" +
       s""""pq_ivf_encode_sec":$pqIvfEncodeSec,"pq_ivf8_sec":$pqIvf8Sec,""" +
       s""""pq_ivf8_recall":$pqIvf8Recall,""" +
       s""""stragglers":{"train":$trainStraggler,"build":$buildStraggler,"ivf1":$ivf1Straggler,""" +
       s""""ivf8":$ivf8Straggler,"brute":$bruteStraggler,"pq_encode":$pqEncodeStraggler,""" +
       s""""pq_adc":$pqAdcStraggler,"pq_rerank":$pqRerankStraggler,""" +
+      s""""pq_train":$pqTrainStraggler,"pq_encode_trained":$pqEncodeTStraggler,""" +
+      s""""pq_adc_trained":$pqAdcTStraggler,""" +
       s""""pq_ivf_encode":$pqIvfEncodeStraggler,"pq_ivf8":$pqIvf8Straggler},""" +
       s""""loads":{"train":$loadTrain,"build":$loadBuild,"ivf1":$loadIvf1,""" +
       s""""ivf8":$loadIvf8,"brute":$loadBrute,"pq_encode":$loadEnc,""" +
       s""""pq_adc":$loadPqAdc,"pq_rerank":$loadPqRerank,""" +
+      s""""pq_train":$loadPqTrain,"pq_encode_trained":$loadEncT,""" +
+      s""""pq_adc_trained":$loadPqAdcT,""" +
       s""""pq_ivf_encode":$loadIvfPqEnc,"pq_ivf8":$loadPqIvf8}}""")
     spark.stop()
   }

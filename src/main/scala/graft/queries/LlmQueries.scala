@@ -173,6 +173,34 @@ object LlmQueries {
        |  SELECT s.list_id, COALESCE(g.sv, s.sv) AS sv
        |  FROM $sIn s LEFT JOIN g_$sOut g USING (list_id))""".stripMargin
 
+  /** One per-subspace PQ Lloyd round over a codebook CTE `cIn` → `cOut`
+    * (expects a `v` CTE of (vec_id, qv)): assign every (vector, subspace)
+    * pair to its argmax-(2·x·c − c·c) code, rebuild each code's centroid as
+    * the element-wise floor(sum/count) of its assigned sub-vectors; codes
+    * that empty out keep their previous centroid. Mirrors
+    * [[graft.llm.Similarity.pqCodebookTrained]]'s integer arithmetic
+    * exactly (subspace width 8 = 64 dims / m 8). */
+  private def sqlPqLloydRound(cIn: String, cOut: String) =
+    s"""e_$cOut AS (
+       |  SELECT vec_id, j, code, xj FROM (
+       |    SELECT x.vec_id, c.j, c.code,
+       |      list_slice(x.qv, c.j * 8 + 1, c.j * 8 + 8) AS xj,
+       |      row_number() OVER (PARTITION BY x.vec_id, c.j
+       |        ORDER BY 2 * ${sqlQdotInt("list_slice(x.qv, c.j * 8 + 1, c.j * 8 + 8)", "c.cv")}
+       |          - ${sqlQdotInt("c.cv", "c.cv")} DESC, c.code) AS rn
+       |    FROM v x CROSS JOIN $cIn c) a
+       |  WHERE rn = 1),
+       |u_$cOut AS (
+       |  SELECT j, code, i, SUM(xj[i]) AS sm, COUNT(*) AS n
+       |  FROM e_$cOut, UNNEST(generate_series(1, 8)) AS t(i)
+       |  GROUP BY j, code, i),
+       |g_$cOut AS (
+       |  SELECT j, code, list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+       |  FROM u_$cOut GROUP BY j, code),
+       |$cOut AS (
+       |  SELECT c.code, c.j, COALESCE(g.cv, c.cv) AS cv
+       |  FROM $cIn c LEFT JOIN g_$cOut g ON g.j = c.j AND g.code = c.code)""".stripMargin
+
   private val sqlBucket =
     """CAST(list_sum(list_transform(generate_series(1, 8),
       |  i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0 THEN 1 << (i-1) ELSE 0 END)) AS BIGINT)""".stripMargin
@@ -387,6 +415,20 @@ object LlmQueries {
       val cb = AnnIndex.codebook(AnnIndex.key(dir, "pq_cb"))(
         Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, nCodes = 16))
       val enc = AnnIndex.table(s, AnnIndex.key(dir, "pq_enc"))(
+        Similarity.pqEncode(emb, "vec_id", "embedding", cb, "match_id"))
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        m = 8, nCodes = 16, k = 5, codebook = Some(cb), encTable = Some(enc))
+    }),
+
+    // PQ over a TRAINED codebook: 2 deterministic per-subspace Lloyd rounds
+    // refine the first-16-vectors seeds before encode (the oracle replays
+    // the identical integer rounds in SQL). Same flat-ADC search as
+    // q_ann_pq — only the codebook differs.
+    "q_ann_pq_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = AnnIndex.codebook(AnnIndex.key(dir, "pq_cb_t2"))(
+        Similarity.pqCodebookTrained(emb, "vec_id", "embedding", m = 8, nCodes = 16, iters = 2))
+      val enc = AnnIndex.table(s, AnnIndex.key(dir, "pq_enc_t2"))(
         Similarity.pqEncode(emb, "vec_id", "embedding", cb, "match_id"))
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         m = 8, nCodes = 16, k = 5, codebook = Some(cb), encTable = Some(enc))
@@ -879,6 +921,36 @@ object LlmQueries {
         |  FROM adc) z
         |WHERE rn <= 5""".stripMargin),
 
+    "q_ann_pq_trained" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
+         |cb0 AS (
+         |  SELECT s.vec_id AS code, t.j AS j,
+         |    list_slice(s.qv, t.j * 8 + 1, t.j * 8 + 8) AS cv
+         |  FROM v s, UNNEST(generate_series(0, 7)) AS t(j)
+         |  WHERE s.vec_id < 16),
+         |${sqlPqLloydRound("cb0", "cb1")},
+         |${sqlPqLloydRound("cb1", "cb2")},
+         |enc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT x.vec_id, cb.j, cb.code,
+         |      row_number() OVER (PARTITION BY x.vec_id, cb.j
+         |        ORDER BY 2 * ${sqlQdotInt("list_slice(x.qv, cb.j * 8 + 1, cb.j * 8 + 8)", "cb.cv")}
+         |          - ${sqlQdotInt("cb.cv", "cb.cv")} DESC, cb.code) AS rn
+         |    FROM v x CROSS JOIN cb2 cb) a
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+         |    CAST(SUM(${sqlQdotInt("list_slice(q.qv, c.j * 8 + 1, c.j * 8 + 8)", "c.cv")}) AS BIGINT) AS adc
+         |  FROM v q
+         |  JOIN enc e ON q.vec_id < 10 AND q.vec_id <> e.vec_id
+         |  JOIN cb2 c ON c.j = e.j AND c.code = e.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, match_id, adc FROM (
+         |  SELECT query_id, match_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, match_id) AS rn
+         |  FROM adc) z
+         |WHERE rn <= 5""".stripMargin,
+
     "q_ann_pq_rerank" -> sqlPqAdc(
       s"""sl AS (
          |  SELECT query_id, match_id FROM (
@@ -1237,6 +1309,26 @@ object LlmQueries {
          |  FROM ann_qv x CROSS JOIN ann_pq_cb cb) a
          |WHERE rn = 1""".stripMargin,
 
+    "ann_pq_cb_t" ->
+      s"""WITH v AS (SELECT vec_id, qv FROM ann_qv),
+         |cb0 AS (
+         |  SELECT s.vec_id AS code, t.j AS j,
+         |    list_slice(s.qv, t.j * 8 + 1, t.j * 8 + 8) AS cv
+         |  FROM v s, UNNEST(generate_series(0, 7)) AS t(j)
+         |  WHERE s.vec_id < 16),
+         |${sqlPqLloydRound("cb0", "cb1")},
+         |${sqlPqLloydRound("cb1", "cb2")}
+         |SELECT code, j, cv FROM cb2""".stripMargin,
+
+    "ann_pq_enc_t" ->
+      s"""SELECT vec_id, j, code FROM (
+         |  SELECT x.vec_id, cb.j, cb.code,
+         |    row_number() OVER (PARTITION BY x.vec_id, cb.j
+         |      ORDER BY 2 * ${sqlQdotInt("list_slice(x.qv, cb.j * 8 + 1, cb.j * 8 + 8)", "cb.cv")}
+         |        - ${sqlQdotInt("cb.cv", "cb.cv")} DESC, cb.code) AS rn
+         |  FROM ann_qv x CROSS JOIN ann_pq_cb_t cb) a
+         |WHERE rn = 1""".stripMargin,
+
     "ann_ivfpq_assigned" ->
       s"""WITH seeds AS (SELECT vec_id AS list_id, qv AS sv FROM ann_qv WHERE vec_id < 16)
          |SELECT vec_id, list_id FROM (
@@ -1282,6 +1374,21 @@ object LlmQueries {
     "q_ann_pq" ->
       s"""WITH q AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings WHERE vec_id < 10),
          |$sqlBenchAdc
+         |SELECT query_id, match_id, adc FROM (
+         |  SELECT query_id, match_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, match_id) AS rn
+         |  FROM adc) z
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_ann_pq_trained" ->
+      s"""WITH q AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+         |    CAST(SUM(${sqlQdotInt("list_slice(q.qv, c.j * 8 + 1, c.j * 8 + 8)", "c.cv")}) AS BIGINT) AS adc
+         |  FROM q
+         |  JOIN ann_pq_enc_t e ON q.vec_id <> e.vec_id
+         |  JOIN ann_pq_cb_t c ON c.j = e.j AND c.code = e.code
+         |  GROUP BY 1, 2)
          |SELECT query_id, match_id, adc FROM (
          |  SELECT query_id, match_id, adc,
          |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, match_id) AS rn

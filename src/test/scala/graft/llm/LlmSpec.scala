@@ -248,6 +248,35 @@ class LlmSpec extends AnyFunSuite {
     assert(codes.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
   }
 
+  test("PQ Lloyd training converges centroids to cluster means and never raises quantization error") {
+    // two tight clusters per subspace whose means are NOT any data point:
+    // untrained codebook (first 2 vectors) sits at cluster EDGES; trained
+    // centroids must move to the per-cluster means
+    val data = Seq(
+      (0L, Array(0.9f, 0.0f, 0.0f, 0.9f)),
+      (1L, Array(0.0f, 0.9f, 0.9f, 0.0f)),
+      (2L, Array(1.1f, 0.0f, 0.0f, 1.1f)),
+      (3L, Array(0.0f, 1.1f, 1.1f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (5L, Array(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cb0 = Similarity.pqCodebook(data, "vec_id", "embedding", m = 2, nCodes = 2)
+    val cb1 = Similarity.pqCodebookTrained(data, "vec_id", "embedding", m = 2, nCodes = 2, iters = 2)
+    // cluster means: (900+1100+1000)/3 = 1000 exactly, 0 for the off dims
+    assert(cb1(0)(0).toSeq === Seq(1000L, 0L))
+    assert(cb1(0)(1).toSeq === Seq(0L, 1000L))
+    assert(cb1(1)(0).toSeq === Seq(0L, 1000L))
+    assert(cb1(1)(1).toSeq === Seq(1000L, 0L))
+    val err0 = Similarity.pqQuantErr(data, "vec_id", "embedding", cb0)
+    val err1 = Similarity.pqQuantErr(data, "vec_id", "embedding", cb1)
+    assert(err1 <= err0, s"training must not raise quantization error: $err1 > $err0")
+    assert(err1 < err0 * 0.75, s"training should measurably reduce error here: $err1 vs $err0")
+    // trained codebook flows through the same encode/search path
+    val out = Similarity.pqTopK(data, data.filter(col("vec_id") < 2), "vec_id", "embedding",
+      m = 2, nCodes = 2, k = 2, codebook = Some(cb1))
+    assert(out.count() === 4)
+  }
+
   test("PQ with full-coverage re-rank equals brute force; pure ADC ranks clusters sanely") {
     // 24 vectors in 3 clean clusters along axes of a 4-dim space, with small
     // deterministic jitter so every vector is distinct
