@@ -308,9 +308,31 @@ object ScaleAnn {
       out
     }
 
+    // --- stored-plane LSH (replaces the axis-plane caveat with a measured
+    // recall): real sampled hyperplanes, generated deterministically and
+    // probed as a fixed artifact — the q_ann_lsh production path. 2^planes
+    // buckets; candidates are within-bucket only, so recall is the honest
+    // price of probe-1 bucketing (multi-probe widens it).
+    val lshNPlanes = sys.env.getOrElse("SCALE_LSH_PLANES", "12").toInt
+    val lshPlanes = Similarity.randomHyperplanes(64, lshNPlanes, seed = 42L)
+    val (lsh, lshSec, lshStraggler, loadLsh) = bestOf("lsh") {
+      val out = Similarity.bucketTopK(corpus, queries, "vec_id", "embedding",
+        lshPlanes, k = k).localCheckpoint(true)
+      out.count()
+      out
+    }
+    val (lshMp, lshMpSec, lshMpStraggler, loadLshMp) = bestOf("lsh_multiprobe") {
+      val out = Similarity.multiProbeTopK(corpus, queries, "vec_id", "embedding",
+        lshPlanes, k = k).localCheckpoint(true)
+      out.count()
+      out
+    }
+
     def recallOf(df: org.apache.spark.sql.DataFrame): Double =
       df.select("query_id", "match_id")
         .intersect(exact.select("query_id", "match_id")).count().toDouble / nExact
+    val lshRecall = recallOf(lsh)
+    val lshMpRecall = recallOf(lshMp)
     val pqAdcRecall = recallOf(pqAdc)
     val pqAdcTrainedRecall = recallOf(pqAdcT)
     val pqRerankRecall = recallOf(pqRr)
@@ -328,6 +350,8 @@ object ScaleAnn {
       s""""pq_encode_trained_sec":$pqEncodeTSec,"pq_adc_trained_sec":$pqAdcTSec,""" +
       s""""pq_adc_trained_recall":$pqAdcTrainedRecall,""" +
       s""""pq_quant_err":$pqQuantErr,"pq_quant_err_trained":$pqQuantErrTrained,""" +
+      s""""lsh_planes":$lshNPlanes,"lsh_sec":$lshSec,"lsh_recall":$lshRecall,""" +
+      s""""lsh_mp_sec":$lshMpSec,"lsh_mp_recall":$lshMpRecall,""" +
       s""""pq_ivf_encode_sec":$pqIvfEncodeSec,"pq_ivf8_sec":$pqIvf8Sec,""" +
       s""""pq_ivf8_recall":$pqIvf8Recall,""" +
       s""""stragglers":{"train":$trainStraggler,"build":$buildStraggler,"ivf1":$ivf1Straggler,""" +
@@ -335,12 +359,14 @@ object ScaleAnn {
       s""""pq_adc":$pqAdcStraggler,"pq_rerank":$pqRerankStraggler,""" +
       s""""pq_train":$pqTrainStraggler,"pq_encode_trained":$pqEncodeTStraggler,""" +
       s""""pq_adc_trained":$pqAdcTStraggler,""" +
+      s""""lsh":$lshStraggler,"lsh_multiprobe":$lshMpStraggler,""" +
       s""""pq_ivf_encode":$pqIvfEncodeStraggler,"pq_ivf8":$pqIvf8Straggler},""" +
       s""""loads":{"train":$loadTrain,"build":$loadBuild,"ivf1":$loadIvf1,""" +
       s""""ivf8":$loadIvf8,"brute":$loadBrute,"pq_encode":$loadEnc,""" +
       s""""pq_adc":$loadPqAdc,"pq_rerank":$loadPqRerank,""" +
       s""""pq_train":$loadPqTrain,"pq_encode_trained":$loadEncT,""" +
       s""""pq_adc_trained":$loadPqAdcT,""" +
+      s""""lsh":$loadLsh,"lsh_multiprobe":$loadLshMp,""" +
       s""""pq_ivf_encode":$loadIvfPqEnc,"pq_ivf8":$loadPqIvf8}}""")
     spark.stop()
   }

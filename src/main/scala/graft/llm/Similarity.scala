@@ -34,12 +34,45 @@ object Similarity {
   def qcosine(a: Column, b: Column): Column =
     qdot(a, b).cast("double") / (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
 
-  /** Sign-bucket key from the first `planes` dimensions — a deterministic
-    * random-hyperplane LSH (the axis planes stand in for sampled hyperplanes;
-    * swap in stored hyperplanes for production recall). */
+  /** Sign-bucket key from the first `planes` dimensions — the cheapest
+    * deterministic bucket function (axis planes). On embeddings whose
+    * leading dimensions are correlated (PCA'd/learned embeddings) recall
+    * degrades silently; [[randomHyperplanes]] + [[signBucketPlanes]] is the
+    * production variant (charikar SimHash for cosine, STOC 2002). */
   def signBucket(c: Column, planes: Int): Column =
     expr(s"aggregate(transform(slice(${c.toString}, 1, $planes), " +
       s"(x, i) -> shiftleft(CAST(CAST(x AS DOUBLE) >= 0.0 AS BIGINT), i)), 0L, (acc, v) -> acc + v)")
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** `planes` random hyperplane normals over `dims` dimensions, integer
+    * milliunit components — REAL sampled hyperplanes for sign-LSH, not the
+    * axis placeholder. Deterministic from `seed` via splitmix64 (so the
+    * index artifact is reproducible and the oracle can embed the same
+    * constants as literals); each component is a sum of four uniforms
+    * recentered to [-2000, 2000] (Irwin-Hall ≈ Gaussian — close enough to
+    * rotation-invariant for bucketing, and exactly representable as
+    * integers). Bounded driver state (planes × dims longs), same lifecycle
+    * contract as [[pqCodebook]]/`seedTable`: generate once per index, store
+    * alongside it, probe against the stored copy. */
+  def randomHyperplanes(dims: Int, planes: Int, seed: Long): Array[Array[Long]] =
+    Array.tabulate(planes)(p => Array.tabulate(dims) { d =>
+      (0 until 4).map(r => math.floorMod(
+        mix64(seed ^ (p.toLong << 40) ^ (d.toLong << 20) ^ r.toLong), 1001L)).sum - 2000L
+    })
+
+  /** Sign-bucket key over a QUANTIZED vector column `qv` against stored
+    * hyperplanes: bit i = (qv · plane_i >= 0) — exact integer dot products,
+    * deterministic in any engine. */
+  def signBucketPlanes(qv: Column, planes: Array[Array[Long]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      shiftleft((qdot(qv, typedLit(p.toSeq)) >= 0).cast("long"), i)
+    }.reduce(_ + _)
 
   /** Cosine from a precomputed-norm pair: `qdot(a,a)`/`qdot(b,b)` are
     * constant per VECTOR, so recomputing them per PAIR (what a literal
@@ -84,6 +117,27 @@ object Similarity {
       Seq(col("cos").desc, col("match_id").asc), k)
   }
 
+  /** [[bucketTopK]] against STORED hyperplanes ([[randomHyperplanes]]) —
+    * the production bucket function: axis planes degrade silently when the
+    * leading dims are correlated; sampled planes don't care how the
+    * embedding basis is oriented. Same dataflow: equi-join on the bucket
+    * key, no full scan per query. */
+  def bucketTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 embCol: String, planes: Array[Array[Long]], k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"))
+      .withColumn("bucket", signBucketPlanes(col("qv"), planes))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
+    val c = corpus.select(col(idCol).as("match_id"), quantize(col(embCol)).as("cv"))
+      .withColumn("bucket", signBucketPlanes(col("cv"), planes))
+      .withColumn("cn", qdot(col("cv"), col("cv")))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"),
+        normedCos(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
+    graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("match_id").asc), k)
+  }
+
   /** Multi-probe LSH top-k: each query probes its own sign bucket PLUS every
     * 1-bit-flip neighbor bucket (`planes` + 1 probes) — the standard recall
     * fix for bucketed LSH (multi-probe LSH, Lv et al., VLDB 2007: near
@@ -105,6 +159,29 @@ object Similarity {
       .withColumn("qn", qdot(col("qv"), col("qv")))
     val c = corpus.select(col(idCol).as("match_id"), quantize(col(embCol)).as("cv"),
       signBucket(col(embCol), planes).as("bucket"))
+      .withColumn("cn", qdot(col("cv"), col("cv")))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"),
+        normedCos(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
+    graft.ops.DistinctOn.topK(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("match_id").asc), k)
+  }
+
+  /** [[multiProbeTopK]] against STORED hyperplanes: own bucket + every
+    * 1-bit-flip neighbor (planes.length + 1 probes), candidates a strict
+    * superset of the stored-plane [[bucketTopK]]'s. */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, planes: Array[Array[Long]], k: Int): DataFrame = {
+    val nb = planes.length
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"))
+      .withColumn("own", signBucketPlanes(col("qv"), planes))
+      .withColumn("bucket",
+        explode(array(col("own") +: (0 until nb).map(i => col("own").bitwiseXOR(lit(1L << i))): _*)))
+      .drop("own")
+      .withColumn("qn", qdot(col("qv"), col("qv")))
+    val c = corpus.select(col(idCol).as("match_id"), quantize(col(embCol)).as("cv"))
+      .withColumn("bucket", signBucketPlanes(col("cv"), planes))
       .withColumn("cn", qdot(col("cv"), col("cv")))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("match_id"))
@@ -604,6 +681,19 @@ object Similarity {
     val v = emb.select(col(idCol), quantize(col(embCol)).as("qv"),
       signBucket(col(embCol), planes).as("bucket"))
       .withColumn("qn", qdot(col("qv"), col("qv")))
+    nearDupScore(v, idCol, threshold)
+  }
+
+  /** [[nearDupPairs]] against STORED hyperplanes. */
+  def nearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                   planes: Array[Array[Long]], threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol), quantize(col(embCol)).as("qv"))
+      .withColumn("bucket", signBucketPlanes(col("qv"), planes))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
+    nearDupScore(v, idCol, threshold)
+  }
+
+  private def nearDupScore(v: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val l = v.select(col("bucket"), col(idCol).as("a"), col("qv").as("av"), col("qn").as("an"))
     val r = v.select(col("bucket"), col(idCol).as("b"), col("qv").as("bv"), col("qn").as("bn"))
     l.join(r, Seq("bucket"))

@@ -201,6 +201,28 @@ object LlmQueries {
        |  SELECT c.code, c.j, COALESCE(g.cv, c.cv) AS cv
        |  FROM $cIn c LEFT JOIN g_$cOut g ON g.j = c.j AND g.code = c.code)""".stripMargin
 
+  /** Stored LSH hyperplanes for the bucketed ANN/near-dup queries: 8 real
+    * sampled planes over the 64-dim embeddings, deterministic from the seed
+    * (the index-artifact contract — generate once, store, probe against the
+    * stored copy). Spark buckets via integer dots against these constants;
+    * the oracle embeds the SAME constants as SQL literals, so the whole
+    * bucket function is cross-engine exact. */
+  private val lshPlanes = graft.llm.Similarity.randomHyperplanes(64, 8, seed = 42L)
+
+  /** DuckDB bucket expression over a quantized-vector column: bit i =
+    * (qv · plane_i >= 0), planes inlined as integer literals. */
+  private def sqlPlanesBucket(qvCol: String): String =
+    lshPlanes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, ${p.length}),
+         |    i -> $qvCol[i] * ($arr)[i])) >= 0 THEN ${1L << i} ELSE 0 END)""".stripMargin
+    }.mkString("CAST((", "\n + ", ") AS BIGINT)")
+
+  /** Shared (vec_id, qv, bucket) CTE body under the stored planes. */
+  private val sqlPlanesV =
+    s"""v0 AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
+       |v AS (SELECT vec_id, qv, ${sqlPlanesBucket("qv")} AS bucket FROM v0)""".stripMargin
+
   private val sqlBucket =
     """CAST(list_sum(list_transform(generate_series(1, 8),
       |  i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0.0 THEN 1 << (i-1) ELSE 0 END)) AS BIGINT)""".stripMargin
@@ -346,10 +368,10 @@ object LlmQueries {
         blockKey = concat_ws(":", col("lang"), expr("size(split(text, ' ')) div 20")),
         threshold = 0.95)),
 
-    // embedding near-dup: sign-bucket LSH + quantized cosine >= 0.25
+    // embedding near-dup: stored-plane sign-bucket LSH + quantized cosine >= 0.25
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        planes = 8, threshold = 0.25)),
+        lshPlanes, threshold = 0.25)),
 
     // brute-force cosine top-5 for the first 10 query vectors
     "q_ann_topk" -> ((s, dir) => {
@@ -358,17 +380,21 @@ object LlmQueries {
     }),
 
     // LSH-bucketed top-5 (the scale path; same queries, bucket-bounded)
+    // against the STORED random hyperplanes — the production bucket
+    // function (axis planes degrade silently on basis-correlated
+    // embeddings; Similarity.signBucket remains the cheap variant)
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bucketTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        planes = 8, k = 5)
+        lshPlanes, k = 5)
     }),
 
-    // multi-probe LSH top-5: own bucket + all 1-bit-flip neighbor buckets
+    // multi-probe LSH top-5: own bucket + all 1-bit-flip neighbor buckets,
+    // stored planes
     "q_ann_multiprobe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.multiProbeTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        planes = 8, k = 5)
+        lshPlanes, k = 5)
     }),
 
     // IVF-style top-5: 16 seed centroids -> inverted lists -> probe own list
@@ -844,7 +870,7 @@ object LlmQueries {
         |WHERE jaccard >= 0.95""".stripMargin,
 
     "q_dedup_embedding" ->
-      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv, $sqlBucket AS bucket FROM embeddings)
+      s"""WITH $sqlPlanesV
          |SELECT a, b, cos FROM (
          |  SELECT l.vec_id AS a, r.vec_id AS b, ${sqlQcos("l.qv", "r.qv")} AS cos
          |  FROM v l JOIN v r ON l.bucket = r.bucket AND l.vec_id < r.vec_id) p
@@ -859,7 +885,7 @@ object LlmQueries {
          |WHERE rn <= 5""".stripMargin,
 
     "q_ann_lsh" ->
-      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv, $sqlBucket AS bucket FROM embeddings)
+      s"""WITH $sqlPlanesV
          |SELECT query_id, match_id, cos FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
@@ -867,7 +893,7 @@ object LlmQueries {
          |WHERE rn <= 5""".stripMargin,
 
     "q_ann_multiprobe" ->
-      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv, $sqlBucket AS bucket FROM embeddings),
+      s"""WITH $sqlPlanesV,
          |probes AS (
          |  SELECT vec_id AS query_id, qv,
          |    unnest([bucket] || list_transform(generate_series(0, 7), i -> xor(bucket, 1::BIGINT << i))) AS bucket

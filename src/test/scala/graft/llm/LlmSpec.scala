@@ -343,6 +343,33 @@ class LlmSpec extends AnyFunSuite {
     assert(b(0L) !== b(3L))
   }
 
+  test("stored hyperplanes: deterministic, co-bucket near-dups, complement opposites") {
+    val p1 = Similarity.randomHyperplanes(8, 4, seed = 7L)
+    val p2 = Similarity.randomHyperplanes(8, 4, seed = 7L)
+    assert(p1.map(_.toSeq).toSeq === p2.map(_.toSeq).toSeq, "same seed must reproduce the artifact")
+    assert(p1.length === 4 && p1.head.length === 8)
+    assert(Similarity.randomHyperplanes(8, 4, seed = 8L).map(_.toSeq).toSeq !== p1.map(_.toSeq).toSeq)
+
+    val base = Array(0.9f, -0.4f, 0.3f, -0.8f, 0.2f, 0.6f, -0.1f, 0.5f)
+    val data = Seq(
+      (0L, base),
+      (1L, base.map(x => x * 1.01f)),      // near-dup: same side of every plane
+      (2L, base.map(x => -x))              // opposite: flips every plane sign
+    ).toDF("vec_id", "embedding")
+    val buckets = data
+      .select(col("vec_id"),
+        Similarity.signBucketPlanes(Similarity.quantize(col("embedding")), p1).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(0L) === buckets(1L), "scaled copy must co-bucket")
+    // a sign flip complements every bit (no zero dots on this vector)
+    assert(buckets(2L) === (~buckets(0L) & 0xfL))
+
+    // stored-plane near-dup pairs finds the in-bucket pair only
+    val pairs = Similarity.nearDupPairs(data, "vec_id", "embedding", p1, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("docFrequencyScore: exact df mass over distinct tokens, repeated tokens counted once") {
     val docs = Seq(
       (1L, "the cat sat"),          // the:3 cat:2 sat:1 -> sum 6, n 3
