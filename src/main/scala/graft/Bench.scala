@@ -65,13 +65,17 @@ object Bench {
     * investigation run clobbered the 93-query record; round-15 postmortem: a
     * full-count sf0.001 verification run clobbered the sf0.1 record — query
     * count alone doesn't identify the workload. An absent or unparsable
-    * prior record accepts anything (first write wins). */
-  private[graft] def fullRecordAccepts(prior: String, nQueries: Int, sfDir: String): Boolean = {
+    * prior record accepts anything (first write wins). A deliberate SF move
+    * (or recovering from a wrong-SF first write, which would otherwise hold
+    * the record forever) is BENCH_ALLOW_SF_CHANGE=1 — the same explicit
+    * ratchet-override contract as scale_bench's SCALE_ALLOW_DOWNSIZE. */
+  private[graft] def fullRecordAccepts(prior: String, nQueries: Int, sfDir: String,
+                                       allowSfChange: Boolean = sys.env.get("BENCH_ALLOW_SF_CHANGE").contains("1")): Boolean = {
     val priorN = """"n_queries":(\d+)""".r
       .findFirstMatchIn(prior).map(_.group(1).toInt).getOrElse(0)
     val priorSf = """"sf":"([^"]+)"""".r
       .findFirstMatchIn(prior).map(_.group(1)).getOrElse(sfDir)
-    nQueries >= priorN && sfDir == priorSf
+    nQueries >= priorN && (sfDir == priorSf || allowSfChange)
   }
 
   def main(args: Array[String]): Unit = {
@@ -223,7 +227,8 @@ object Bench {
           else {
             System.err.println(s"[bench] run covers ${best.size} queries at $sfDir vs " +
               "a larger or different-SF existing record; writing BENCH_PARTIAL.json " +
-              "(BENCH_FULL.json untouched)")
+              "(BENCH_FULL.json untouched; set BENCH_ALLOW_SF_CHANGE=1 to accept a " +
+              "deliberate SF move)")
             java.nio.file.Paths.get("BENCH_PARTIAL.json")
           }
         java.nio.file.Files.write(target,

@@ -81,8 +81,10 @@ class SqlNode(
     // flipped a 685M-row stream from BroadcastHashJoin to SortMergeJoin and
     // cost 568s where ~75s is linear. 64 MB parquet ≈ a few hundred MB
     // hashed — routine broadcast traffic on a production cluster, and the
-    // conf is scoped to this node's session, never the caller's.
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // conf is scoped to this node's session, never the caller's. Small-heap
+    // deployments (a 64 MB parquet side can hash to several hundred MB on
+    // the driver) lower it without a code change via the sys prop.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", SqlNode.broadcastThreshold)
     inputIds.foreach(id => cat.readAny(id, s).createOrReplaceTempView(id))
     outputIds.foreach { out =>
       val sql = sqls(out)
@@ -102,6 +104,12 @@ class SqlNode(
 }
 
 object SqlNode {
+  /** Node-session broadcast ceiling, overridable per deployment via sys prop
+    * `graft.sql.nodeBroadcastThreshold` (bytes, or -1 to disable auto
+    * broadcast) — small-heap drivers lower it without a code change. */
+  private[graft] def broadcastThreshold: String =
+    sys.props.getOrElse("graft.sql.nodeBroadcastThreshold", (64L << 20).toString)
+
   sealed trait Materialize
   /** Outputs written as parquet datasets (the default FS-output config). */
   case object ToFs extends Materialize

@@ -29,6 +29,13 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.fullRecordAccepts(prior, 200, "/root/testdata/sf1"))
   }
 
+  test("SF change accepted only under the explicit override (wrong-SF first write is recoverable)") {
+    assert(Bench.fullRecordAccepts(prior, 99, "/root/testdata/sf1", allowSfChange = true))
+    assert(!Bench.fullRecordAccepts(prior, 99, "/root/testdata/sf1", allowSfChange = false))
+    // the override relaxes only the SF clause, never the narrowing guard
+    assert(!Bench.fullRecordAccepts(prior, 98, "/root/testdata/sf1", allowSfChange = true))
+  }
+
   test("no prior record: anything accepted (first write wins)") {
     assert(Bench.fullRecordAccepts("", 1, "/root/testdata/sf0.001"))
   }

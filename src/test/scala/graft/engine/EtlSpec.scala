@@ -50,6 +50,14 @@ class EtlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SELECT nope FROM in1"))
   }
 
+  test("node broadcast ceiling defaults to 64MB and honors the deployment override") {
+    assert(SqlNode.broadcastThreshold === (64L << 20).toString)
+    try {
+      sys.props("graft.sql.nodeBroadcastThreshold") = "-1"
+      assert(SqlNode.broadcastThreshold === "-1")
+    } finally sys.props -= "graft.sql.nodeBroadcastThreshold"
+  }
+
   test("DfNode validates transform arity (reference etl.py:445-449)") {
     val cat = freshCat()
     cat.write(Seq(1).toDF("v"), "a")

@@ -85,9 +85,33 @@ def main():
             con.execute(f"CREATE OR REPLACE TEMP TABLE {tbl} AS {sql}")
         overrides = {k: v for k, v in bench_sql.get("timed", {}).items()
                      if k in names}
+        # Equivalence pin, run EVERY bench (round-15 advice): an override that
+        # drifts from its oracleSql counterpart would silently time a
+        # different query. Each override must return exactly the oracle's
+        # rows (columns sorted by name, rows sorted, string-compared — the
+        # same canon as check.py --bench-sql); a drifted one is dropped back
+        # to the plain oracle SQL with a loud warning, so the ratio stays
+        # honest either way. The comparison doubles as the warm-up pass for
+        # these queries.
+        def rows_of(sql):
+            df = con.execute(sql).df()
+            df = df.reindex(sorted(df.columns), axis=1)
+            return list(df.columns), sorted(map(tuple, df.astype(str).values.tolist()))
+        for k in sorted(overrides):
+            try:
+                ok = rows_of(overrides[k]) == rows_of(oracle[k])
+            except Exception as e:
+                ok = False
+                print(f"[oracle] override {k} equivalence check errored: {e}",
+                      file=sys.stderr)
+            if not ok:
+                print(f"[oracle] WARNING: timed override for {k} DIFFERS from "
+                      f"its oracleSql — dropping the override (timing the "
+                      f"plain oracle query instead)", file=sys.stderr)
+                del overrides[k]
         print(f"[oracle] {len(bench_sql.get('setup', []))} index artifacts "
               f"materialized untimed in {time.perf_counter() - t0:.2f}s; "
-              f"{len(overrides)} timed overrides", file=sys.stderr)
+              f"{len(overrides)} timed overrides (equivalence-pinned)", file=sys.stderr)
         oracle = dict(oracle, **overrides)
 
     def once(name):
