@@ -492,6 +492,39 @@ object LlmQueries {
         seedTable = Some(seeds), codebook = Some(cb), encTable = Some(enc))
     }),
 
+    // INCREMENTAL ANN index maintenance (the ANN twin of q_dedup_incremental):
+    // the seed centroids and the existing corpus' inverted lists are
+    // PERSISTED through the catalog at build time; a new batch
+    // (vec_id % 4 == 0) is assigned against the STORED seeds only, and the
+    // stored-∪-delta lists serve the probe. Per-row assignment is
+    // deterministic given fixed seeds, so the maintained index is
+    // row-identical to a full rebuild — which is exactly what the oracle
+    // runs, proving the maintenance path loses nothing.
+    "q_ann_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val existing = emb.filter(col("vec_id") % 4 =!= 0)
+      val newBatch = emb.filter(col("vec_id") % 4 === 0)
+      // build time (before the batch exists): 16 seeds from the existing
+      // corpus (vec_ids 1..21 minus the multiples of 4 held out as the
+      // future batch) and the existing corpus' list assignments — stored
+      // index artifacts with the usual AnnIndex lifecycle
+      val storedSeeds = AnnIndex.table(s, AnnIndex.key(dir, "inc_seeds"))(
+        existing.filter(col("vec_id") < 22)
+          .select(col("vec_id").as("list_id"),
+            Similarity.quantize(col("embedding")).as("sv")))
+      val storedLists = AnnIndex.table(s, AnnIndex.key(dir, "inc_lists"))(
+        Similarity.assignToLists(existing, "vec_id", "embedding",
+          storedSeeds, "match_id"))
+      // the maintenance work: assign ONLY the new batch against the stored
+      // seeds — the existing corpus is never rescanned — and probe the
+      // stored ∪ delta lists
+      val delta = Similarity.assignToLists(newBatch, "vec_id", "embedding",
+        storedSeeds, "match_id")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nLists = 16, k = 5, nProbe = 1,
+        seedTable = Some(storedSeeds), listTable = Some(storedLists.unionByName(delta)))
+    }),
+
     // token counting: whitespace + BPE-ish regex subword count
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -940,6 +973,26 @@ object LlmQueries {
          |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
          |WHERE rn <= 5""".stripMargin,
 
+    // full rebuild with the SAME seed rule the Spark side persisted — equal
+    // to stored ∪ delta because per-row assignment is seed-deterministic
+    "q_ann_incremental" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
+         |seeds AS (SELECT vec_id AS list_id, qv AS sv FROM v
+         |  WHERE vec_id % 4 <> 0 AND vec_id < 22),
+         |assigned AS (
+         |  SELECT vec_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM v x CROSS JOIN seeds s) a
+         |  WHERE rn = 1)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, ${sqlQcos("q.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, c.vec_id) AS rn
+         |  FROM assigned q JOIN assigned c ON q.list_id = c.list_id
+         |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id) s
+         |WHERE rn <= 5""".stripMargin,
+
     "q_ann_pq" -> sqlPqAdc(
       """SELECT query_id, match_id, adc FROM (
         |  SELECT query_id, match_id, adc,
@@ -1362,6 +1415,19 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY x.vec_id
          |      ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
          |  FROM ann_qv x CROSS JOIN seeds s) a
+         |WHERE rn = 1""".stripMargin,
+
+    "ann_inc_seeds" ->
+      """SELECT vec_id AS list_id, qv AS sv FROM ann_qv
+        |WHERE vec_id % 4 <> 0 AND vec_id < 22""".stripMargin,
+
+    "ann_inc_lists" ->
+      s"""SELECT vec_id, list_id FROM (
+         |  SELECT x.vec_id, s.list_id,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |  FROM ann_qv x CROSS JOIN ann_inc_seeds s
+         |  WHERE x.vec_id % 4 <> 0) a
          |WHERE rn = 1""".stripMargin)
 
   private val sqlBenchAdc =
@@ -1469,5 +1535,36 @@ object LlmQueries {
          |      ORDER BY ${sqlQcos("q.qv", "c.qv")} DESC, s.match_id) AS rn
          |  FROM sl s JOIN q ON q.vec_id = s.query_id
          |    JOIN ann_qv c ON c.vec_id = s.match_id) z
+         |WHERE rn <= 5""".stripMargin,
+
+    // the timer holds exactly the Spark side's maintenance work: the NEW
+    // batch's assignment, the union with the stored lists, the probe
+    "q_ann_incremental" ->
+      s"""WITH delta AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT x.vec_id, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM ann_qv x CROSS JOIN ann_inc_seeds s
+         |    WHERE x.vec_id % 4 = 0) a
+         |  WHERE rn = 1),
+         |lists AS (
+         |  SELECT vec_id, list_id FROM ann_inc_lists
+         |  UNION ALL SELECT vec_id, list_id FROM delta),
+         |q AS (SELECT vec_id, qv FROM ann_qv WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT vec_id AS query_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM q x CROSS JOIN ann_inc_seeds s) a
+         |  WHERE rn = 1)
+         |SELECT query_id, match_id, cos FROM (
+         |  SELECT p.query_id, l.vec_id AS match_id, ${sqlQcos("p.qv", "c.qv")} AS cos,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${sqlQcos("p.qv", "c.qv")} DESC, l.vec_id) AS rn
+         |  FROM probes p
+         |  JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+         |  JOIN ann_qv c ON c.vec_id = l.vec_id) s
          |WHERE rn <= 5""".stripMargin)
 }

@@ -370,6 +370,22 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("incremental IVF maintenance: existing ∪ delta assignments equal a full rebuild") {
+    val emb = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val existing = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val seeds = existing.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("list_id"), Similarity.quantize(col("embedding")).as("sv"))
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      Similarity.assignToLists(df, "vec_id", "embedding", seeds, "id")
+        .select("id", "list_id").as[(Long, Long)].collect().toSet
+    // per-row assignment is seed-deterministic, so maintaining the index by
+    // assigning only the new batch loses nothing vs rescanning everything
+    assert(assignments(existing) ++ assignments(batch) === assignments(emb))
+  }
+
   test("docFrequencyScore: exact df mass over distinct tokens, repeated tokens counted once") {
     val docs = Seq(
       (1L, "the cat sat"),          // the:3 cat:2 sat:1 -> sum 6, n 3
