@@ -149,6 +149,11 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     queries.foreach { case (name, _) => best(name) = (-1.0, -1.0) }
     val samples = scala.collection.mutable.Map[String, List[(Double, Double)]]().withDefaultValue(Nil)
+    // (jobs, stages) submitted during each query's BEST sample — the floor
+    // attribution (round-15 advice): a 13-16× ratio over a sub-second query
+    // is per-job scheduling floor, not a plan defect, and the job count says
+    // so without anyone re-reading the plan
+    val jobsOf = scala.collection.mutable.Map[String, (Int, Int)]()
 
     // The driver's artifact keeps only the LAST ~2000 chars of stdout (the
     // full line has never survived: sbt appends its own lines after ours, so
@@ -193,9 +198,20 @@ object Bench {
       // constant over a sub-millisecond DuckDB microquery is a 500x "ratio"
       // that says nothing about scale behavior — the full ratios object above
       // still carries every query for auditing those constants
-      val worstRatio = triples.filter { case (_, s, o, _) => o >= 0.05 && s >= 0.25 }
+      val worstTriples = triples.filter { case (_, s, o, _) => o >= 0.05 && s >= 0.25 }
         .sortBy(-_._4).take(8)
+      val worstRatio = worstTriples
         .map { case (k, _, _, r) => "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
+      // floor attribution for the worst ratios, compact enough for the tail:
+      // [n_jobs, n_stages] of the best sample — a big ratio with a two-digit
+      // job count is materialization/scheduling floor, not a plan defect
+      val worstJobs = worstTriples.flatMap { case (k, _, _, _) =>
+        jobsOf.get(k).map { case (j, st) => "\"" + k + s"""\":[$j,$st]""" }
+      }.mkString("{", ",", "}")
+      // the complete per-query (jobs, stages) map rides in the bulky zone
+      // (preserved whole in BENCH_FULL.json)
+      val jobsJson = jobsOf.toSeq.sortBy(_._1)
+        .map { case (k, (j, st)) => "\"" + k + s"""\":[$j,$st]""" }.mkString("{", ",", "}")
       val summary = oracle match {
         case Some((oTotal, _)) =>
           val ratio = if (oTotal > 0) total / oTotal else -1.0
@@ -204,8 +220,9 @@ object Bench {
           s""""spark_total_sec":${r3(total)},"oracle_total_sec":null,"ratio":null"""
       }
       val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""load_gate":$loadGate,"samples":$ss,$oracleRaw"ratios":$ratiosJson,"queries":$qs,""" +
-        s""""slowest":$slowest,"worst_ratio":$worstRatio,$summary,"failed":$failed,"n_queries":${best.size}}"""
+        s""""load_gate":$loadGate,"samples":$ss,$oracleRaw"jobs":$jobsJson,"ratios":$ratiosJson,""" +
+        s""""queries":$qs,"slowest":$slowest,"worst_ratio":$worstRatio,"worst_jobs":$worstJobs,""" +
+        s"""$summary,"failed":$failed,"n_queries":${best.size}}"""
       println(line)
       // The driver's round artifact preserves only the stdout TAIL, which
       // truncates the bulky sections above — persist the complete line as a
@@ -241,6 +258,16 @@ object Bench {
 
     def measure(pass: String, name: String, fn: (SparkSession, String) => DataFrame): Unit = {
       val load = gateOnLoad(name)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(counter)
       val t0 = System.nanoTime()
       val sec =
         try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -249,11 +276,22 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
-      System.err.println(f"[bench][$pass] $name $sec%.2fs load=$load%.2f")
+        finally {
+          // the listener bus is async; the final job necessarily STARTED
+          // before consume() returned, but its event may be a few ms behind —
+          // a short drain keeps the counts exact in practice
+          Thread.sleep(50)
+          spark.sparkContext.removeSparkListener(counter)
+        }
+      System.err.println(f"[bench][$pass] $name $sec%.2fs load=$load%.2f " +
+        s"jobs=${jobs.get} stages=${stages.get}")
       if (sec >= 0) {
         samples(name) = (sec, load) :: samples(name)
         val (prev, _) = best(name)
-        if (prev < 0 || sec < prev) best(name) = (sec, load)
+        if (prev < 0 || sec < prev) {
+          best(name) = (sec, load)
+          jobsOf(name) = (jobs.get, stages.get)
+        }
       }
       restart()
     }
