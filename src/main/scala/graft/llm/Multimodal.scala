@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * Header DECODE is real: [[HeaderDecoder]] parses PNG IHDR, GIF logical
   * screen, BMP info header, and JPEG SOF segments by direct byte slicing —
-  * no codec libraries, pure JVM, distributed inside `mapPartitions`. Pixel
-  * decode (which needs actual codecs, absent in this environment) remains
-  * out of scope: payloads with no recognized container magic fall back to
-  * the clearly-marked [[StubDecoder]] so the plumbing stays testable on
+  * no codec libraries, pure JVM, distributed inside `mapPartitions`. PIXEL
+  * decode is real for the one codec-free container: uncompressed 24-bpp
+  * BI_RGB BMP ([[HeaderDecoder.decodePixels]] walks the padded bottom-up
+  * pixel array byte-by-byte). Compressed-codec pixel decode (JPEG/PNG
+  * entropy coding, absent libraries in this environment) remains out of
+  * scope: payloads with no recognized container magic fall back to the
+  * clearly-marked [[StubDecoder]] so the plumbing stays testable on
   * text stand-in payloads. Everything around the decode is the real 100 TB
   * shape: a typed `Dataset[MediaRow]`, `mapPartitions` so per-partition
   * decoder state (codec contexts, model handles) initializes once per task
@@ -63,6 +66,46 @@ object Multimodal {
       } else if (p.length >= 4 && u8(p(0)) == 0xff && u8(p(1)) == 0xd8) {
         decodeJpeg(p)
       } else None
+    }
+
+    /** PIXEL decode for the one container that needs no codec: uncompressed
+      * 24-bpp BI_RGB BMP (the Windows DIB layout: pixel array at the
+      * BITMAPFILEHEADER's bfOffBits, rows padded to 4-byte boundaries,
+      * POSITIVE biHeight = bottom-up row order, channels stored B,G,R).
+      * Returns (width, height, checksum) where checksum is the rolling
+      * per-pixel sum Σ (k+1)·(B + 2·G + 3·R) over the LOGICAL top-down
+      * row-major pixel index k — deliberately order- and padding-sensitive,
+      * so a row-stride, bottom-up, or channel-order bug changes the value.
+      * None for anything that isn't a complete uncompressed 24-bpp BMP. */
+    def decodePixels(p: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+      val off = le32(p, 10)
+      val w = le32(p, 18)
+      val hRaw = le32(p, 22)
+      val bpp = le16(p, 28)
+      val comp = le32(p, 30)
+      if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0) return None
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      val stride = (3 * w + 3) & ~3
+      if (off < 54 || off.toLong + stride.toLong * h > p.length) return None
+      var cs = 0L
+      var k = 0L
+      var y = 0
+      while (y < h) {
+        val base = off + (if (topDown) y else h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val b = u8(p(base + 3 * x))
+          val g = u8(p(base + 3 * x + 1))
+          val r = u8(p(base + 3 * x + 2))
+          k += 1
+          cs += k * (b + 2L * g + 3L * r)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, cs))
     }
 
     /** Walk JPEG marker segments to the first SOFn frame header (T.81
@@ -124,6 +167,28 @@ object Multimodal {
             ("unknown", sw, sh)
         }
         MediaMeta(r.id, r.payload.length, md5Hex(r.payload), checksum, fmt, w, h)
+      }
+    }
+  }
+
+  /** Per-pixel decode output: dimensions + the order-sensitive pixel
+    * checksum ([[HeaderDecoder.decodePixels]]); `format` is `bmp` on a
+    * successful decode, `unknown` otherwise (checksum -1). */
+  final case class PixelMeta(id: Long, format: String, width: Int, height: Int,
+                             pix_checksum: Long)
+
+  /** Distributed PIXEL extraction (same mapPartitions shape as
+    * [[extractMeta]]): parse each payload as an uncompressed 24-bpp BMP and
+    * emit dimensions + the rolling per-pixel checksum. This is the real
+    * decode path end-to-end — bytes in, pixels walked, no stub. */
+  def extractPixels(rows: Dataset[MediaRow]): Dataset[PixelMeta] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        HeaderDecoder.decodePixels(r.payload) match {
+          case Some((w, h, cs)) => PixelMeta(r.id, "bmp", w, h, cs)
+          case None => PixelMeta(r.id, "unknown", 0, 0, -1L)
+        }
       }
     }
   }

@@ -687,6 +687,46 @@ object LlmQueries {
       Multimodal.extractMeta(media).toDF()
         .select(col("id"), col("format"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+    }),
+
+    // REAL PIXEL decode, oracle-checked per pixel: synthesize a complete
+    // uncompressed 24-bpp BMP per document (4-byte-padded rows, BOTTOM-UP
+    // storage order, B,G,R channel order — all built with codegen'd
+    // hex/concat, no UDF), walk its pixel array with
+    // HeaderDecoder.decodePixels, and emit the rolling per-pixel checksum
+    // Σ (k+1)·(B + 2·G + 3·R) over the logical top-down index k. The oracle
+    // recomputes the checksum in closed form from doc_id without touching
+    // bytes, so any stride/padding/row-order/channel-order bug in either
+    // the packer or the parser breaks the hash match.
+    "q_multimodal_pixels" -> ((s, dir) => {
+      val d = "doc_id"
+      val w = s"(1 + $d % 4)" // 1..4: strides 4,8,12,12 — pads 1,2,3,0
+      val h = s"(1 + $d % 3)" // 1..3 rows
+      val pad = s"((4 - (3 * $w) % 4) % 4)"
+      val stride = s"(3 * $w + $pad)"
+      def le4(v: String) = {
+        val be8 = s"lpad(hex($v), 8, '0')"
+        s"concat(substr($be8, 7, 2), substr($be8, 5, 2), substr($be8, 3, 2), substr($be8, 1, 2))"
+      }
+      val headerHex =
+        s"""concat('424D', ${le4(s"(54 + $stride * $h)")}, '00000000', '36000000',
+           |  '28000000', ${le4(w)}, ${le4(h)}, '0100', '1800', '00000000',
+           |  ${le4(s"($stride * $h)")}, '00000000', '00000000', '00000000', '00000000')""".stripMargin
+      // storage rows bottom-up: stored row sr holds logical row y = h-1-sr
+      val pixelsHex =
+        s"""array_join(transform(sequence(0, $h - 1), sr -> concat(
+           |  array_join(transform(sequence(0, $w - 1), x -> concat(
+           |    lpad(hex(($d + 3 * x + 7 * ($h - 1 - sr)) % 256), 2, '0'),
+           |    lpad(hex((2 * $d + 5 * x + ($h - 1 - sr)) % 256), 2, '0'),
+           |    lpad(hex((x * ($h - 1 - sr) + $d) % 256), 2, '0'))), ''),
+           |  repeat('00', $pad))), '')""".stripMargin
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(col("doc_id"),
+          unhex(expr(s"concat($headerHex, $pixelsHex)")).as("payload")),
+        "doc_id", "payload")
+      Multimodal.extractPixels(media).toDF()
+        .select(col("id"), col("format"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pix_checksum"))
     })
   )
 
@@ -1332,7 +1372,27 @@ object LlmQueries {
         |    WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
         |  1 + doc_id % 1000 AS width,
         |  1 + doc_id % 600 AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // closed-form twin of the per-pixel checksum: the Spark side must
+    // round-trip these channel values through real padded bottom-up BMP
+    // bytes and the pixel walker to land on the same sums — the oracle
+    // never touches a byte
+    "q_multimodal_pixels" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS w, 1 + doc_id % 3 AS h FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (ys.y * d.w + xs.x + 1) * (
+        |        ((d.doc_id + 3 * xs.x + 7 * ys.y) % 256)
+        |      + 2 * ((2 * d.doc_id + 5 * xs.x + ys.y) % 256)
+        |      + 3 * ((xs.x * ys.y + d.doc_id) % 256)) AS t
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(d.w AS INT) - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(d.h AS INT) - 1)) AS y) ys)
+        |SELECT doc_id AS id, 'bmp' AS format, w AS width, h AS height,
+        |  CAST(sum(t) AS BIGINT) AS pix_checksum
+        |FROM px GROUP BY doc_id, w, h""".stripMargin
   )
 
   // -------------------------------------------------------------------

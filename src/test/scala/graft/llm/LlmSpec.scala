@@ -609,6 +609,34 @@ class LlmSpec extends AnyFunSuite {
     assert(decode(bytes("FFD8 FFC0 000B 08 01E0")) === None) // SOF length beyond data
   }
 
+  test("BMP pixel decoder: padded bottom-up walk, top-down variant, non-BMP rejection") {
+    import Multimodal.HeaderDecoder.decodePixels
+    // hand-build a 2x2 24-bpp BMP: stride = (3*2+3)&~3 = 8 (2 pad bytes/row),
+    // bottom-up storage. Logical pixels (x,y) -> (B,G,R):
+    //   (0,0)=(1,2,3) (1,0)=(4,5,6) (0,1)=(7,8,9) (1,1)=(10,11,12)
+    // storage: row0 = logical y=1 [7,8,9, 10,11,12, pad,pad],
+    //          row1 = logical y=0 [1,2,3, 4,5,6, pad,pad]
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(x => (x & 0xff).toByte)
+    def header(h: Int) =
+      "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val rowY1 = Array(7, 8, 9, 10, 11, 12, 0, 0).map(_.toByte)
+    val rowY0 = Array(1, 2, 3, 4, 5, 6, 0, 0).map(_.toByte)
+    // checksum over logical top-down k: k=1 (0,0), k=2 (1,0), k=3 (0,1), k=4 (1,1)
+    val expected = 1L * (1 + 2 * 2 + 3 * 3) + 2L * (4 + 2 * 5 + 3 * 6) +
+      3L * (7 + 2 * 8 + 3 * 9) + 4L * (10 + 2 * 11 + 3 * 12)
+    assert(decodePixels(header(2) ++ rowY1 ++ rowY0) === Some((2, 2, expected)))
+    // top-down (negative height): rows stored in logical order
+    assert(decodePixels(header(-2) ++ rowY0 ++ rowY1) === Some((2, 2, expected)))
+    // truncated pixel array, wrong bpp, non-BMP: None, never throw
+    assert(decodePixels(header(2) ++ rowY1) === None)
+    assert(decodePixels("plain text".getBytes("UTF-8")) === None)
+    val bpp8 = header(2).clone(); bpp8(28) = 8
+    assert(decodePixels(bpp8 ++ rowY1 ++ rowY0) === None)
+  }
+
   test("header decoder never throws on arbitrary bytes (fuzz with magic prefixes)") {
     import Multimodal.HeaderDecoder.decode
     val magics = Seq(
