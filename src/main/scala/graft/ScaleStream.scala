@@ -157,28 +157,43 @@ object ScaleStream {
     // micro-batch (watermark advances ~7.5 days per commit: ~2.2M sessions
     // close and ~2.5M open each batch). Both state-store providers are
     // measured with emission required identical — the provider is pure
-    // physical state management. Measured result (per-phase min-of-2): the
-    // default in-heap provider WINS at this state size (sessions 26.6s vs
-    // 40.0s, interval join 37.8s vs 64.5s) because RocksDB pays JNI +
-    // ser/de per state operation while 2.2M rows of state fit comfortably
-    // in heap and the full-map snapshot to local disk is cheap. The
-    // crossover is when state outgrows executor memory or checkpointing
-    // goes remote: the default's per-commit cost scales with STATE SIZE,
-    // RocksDB's with the STATE DELTA (and state lives off-heap). Recording
-    // both keeps the trade auditable instead of folklore.
+    // physical state management. Measured result (r16 tune, per-phase
+    // min-of-2, same-run comparison): the TUNED RocksDB provider now WINS
+    // the put-dominated sessionizer (14.5s vs the default's 20.2s — it was
+    // 1.4× slower before trackTotalNumberOfRows=false removed the
+    // read-before-every-write) but stays ~2.3× behind on the stream-stream
+    // interval join (67.6s vs 29.2s). The join gap is structural, not a
+    // tuning residue: a stream-stream join keeps FOUR stores per partition
+    // (keyToNumValues / keyWithIndexToValue per side) and pays several
+    // GETS per input row probing the other side, and a RocksDB get is a
+    // JNI crossing + block decode (~µs) where the in-heap map's is a
+    // hash lookup (~ns) — no knob removes reads from the access pattern.
+    // The crossover is when state outgrows executor memory or
+    // checkpointing goes remote: the default's per-commit cost scales with
+    // STATE SIZE, RocksDB's with the STATE DELTA (and state lives
+    // off-heap). Recording both keeps the trade auditable instead of
+    // folklore.
     def withStateProvider[A](rocks: Boolean)(body: => A): A = {
-      // The RocksDB side runs TUNED (r15, after the r14 54.8s-vs-17.6s gap):
+      // The RocksDB side runs TUNED (r15, after the r14 54.8s-vs-17.6s gap;
+      // widened r16 against the 66s-vs-34s interval join):
       // changelog checkpointing uploads per-commit deltas instead of
       // snapshotting the full store every commit — the dominant cost when
-      // state turns over ~2.2M rows per batch — and a larger write buffer
-      // cuts memtable flush churn. Emission equality vs the default
-      // provider is still asserted below, so the tune cannot change results.
+      // state turns over ~2.2M rows per batch — a larger write buffer cuts
+      // memtable flush churn, trackTotalNumberOfRows=false removes the
+      // read-before-write RocksDB otherwise pays on EVERY put/remove just to
+      // maintain the numRowsTotal metric (the peak-state numbers recorded in
+      // the JSON come from the default-provider runs, which keep tracking),
+      // and a 256MB block cache holds the join-probe working set. Emission
+      // equality vs the default provider is still asserted below, so the
+      // tune cannot change results.
       val confs: Map[String, String] =
         if (rocks) Map(
           "spark.sql.streaming.stateStore.providerClass" ->
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
-          "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "128")
+          "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "128",
+          "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
+          "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB" -> "256")
         else Map.empty
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try body finally confs.keys.foreach(spark.conf.unset)
