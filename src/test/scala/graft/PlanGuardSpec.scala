@@ -27,6 +27,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_ann_ivf_multiprobe",
     "q_ann_ivf_kmeans",
     "q_ann_pq",         // ADC scan: query batch (with its LUT) broadcast over codes
+    "q_ann_pq_trained", // same ADC scan, Lloyd-trained codebook
     "q_ann_pq_rerank",  // same scan, plus exact re-rank of the short-list
     "q_ann_ivfpq",      // IVF probe cross (queries x nLists seeds); ADC itself equi-joins on list_id
     "q_er_gazetteer"    // gazetteer term list broadcast against features
