@@ -459,4 +459,61 @@ object Dedup {
     // 1.4s at sf0.1); see StaticScope for the gate semantics
     graft.ops.StaticScope.materialize(df)(pairs)
   }
+
+  /** Cosine from quantized vectors whose self-dots (`na`/`nb`) are already
+    * materialized — same value as recomputing, a third of the arithmetic
+    * (mirrors [[Similarity]]'s internal normed form). */
+  private def cosWithNorms(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the embeddings with the deterministic Lloyd-trained coarse
+    * quantizer ([[Similarity.kmeansSeeds]]), then within each cluster DROP
+    * every document that has a more prototypical semantic near-duplicate — a
+    * cluster-mate at cosine ≥ `threshold` whose own centroid-cosine is higher
+    * (exact ties break to the smaller id, so the rule is a strict total order
+    * and exactly one member of every near-dup chain survives: the chain's
+    * most prototypical document). Output: the KEPT rows
+    * (idCol, list_id, ccos), ccos = cosine to the cluster centroid.
+    *
+    * Scale shape — this is the member of the dedup family built for
+    * embedding-space dedup at corpus scale: the quadratic term is bounded by
+    * the CLUSTER, not the corpus (SemDeDup's trick; nClusters grows with the
+    * corpus so cluster sizes stay bounded), the centroid table is bounded
+    * driver state (the MLlib-centers contract), assignment is a narrow
+    * zero-shuffle map, and the prune is ONE anti self-join shuffled on
+    * list_id. Train/assign once per corpus snapshot (`seedTable`/
+    * `assignedTable`, same artifact lifecycle as the IVF index — the ann
+    * queries' `ivfk_seeds`/`ivfk_lists` artifacts are directly reusable);
+    * per-batch cost is then the within-cluster pair scan alone. Every step is
+    * integer-exact or fixed-order IEEE, so the whole cluster→prune pipeline
+    * is oracle-verifiable. */
+  def semanticPrune(emb: DataFrame, idCol: String, embCol: String,
+                    nClusters: Int, trainIters: Int, threshold: Double,
+                    seedTable: Option[DataFrame] = None,
+                    assignedTable: Option[DataFrame] = None): DataFrame = {
+    val seeds = seedTable.getOrElse(
+      Similarity.kmeansSeeds(emb, idCol, embCol, nClusters, trainIters))
+    val assigned = assignedTable.getOrElse(
+      Similarity.assignToLists(emb, idCol, embCol, seeds, idCol))
+    // prototypicality = cosine to the own-cluster centroid; the seed side is
+    // nClusters rows, so this is a broadcast join by construction
+    val seedNorms = seeds.select(col("list_id").cast("long").as("list_id"),
+      col("sv"), Similarity.qdot(col("sv"), col("sv")).as("sn"))
+    val scored = assigned.join(broadcast(seedNorms), "list_id")
+      .select(col(idCol), col("list_id"), col("v"), col("vn"),
+        cosWithNorms(Similarity.qdot(col("v"), col("sv")), col("vn"), col("sn")).as("ccos"))
+    val witness = scored.select(col("list_id").as("u_list"), col(idCol).as("u_id"),
+      col("v").as("uv"), col("vn").as("un"), col("ccos").as("u_ccos"))
+    scored.join(witness,
+      col("u_list") === col("list_id") &&
+        col("u_id") =!= col(idCol) &&
+        cosWithNorms(Similarity.qdot(col("uv"), col("v")), col("un"), col("vn"))
+          >= threshold &&
+        (col("u_ccos") > col("ccos") ||
+          (col("u_ccos") === col("ccos") && col("u_id") < col(idCol))),
+      "left_anti")
+      .select(col(idCol), col("list_id"), col("ccos"))
+  }
 }

@@ -373,6 +373,21 @@ object LlmQueries {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         lshPlanes, threshold = 0.25)),
 
+    // SemDeDup semantic dedup: Lloyd-clustered embeddings, prune the less
+    // prototypical member of every within-cluster near-dup pair. Reuses the
+    // trained-IVF index artifacts (seeds + inverted lists) — clustering is
+    // once-per-snapshot; the measured query is the within-cluster prune.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = AnnIndex.table(s, AnnIndex.key(dir, "ivfk_seeds"))(
+        Similarity.kmeansSeeds(emb, "vec_id", "embedding", nLists = 16, iters = 2))
+      val lists = AnnIndex.table(s, AnnIndex.key(dir, "ivfk_lists"))(
+        Similarity.assignToLists(emb, "vec_id", "embedding", seeds, "match_id"))
+      Dedup.semanticPrune(emb, "vec_id", "embedding", nClusters = 16,
+        trainIters = 2, threshold = 0.35, seedTable = Some(seeds),
+        assignedTable = Some(lists.withColumnRenamed("match_id", "vec_id")))
+    }),
+
     // brute-force cosine top-5 for the first 10 query vectors
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -948,6 +963,32 @@ object LlmQueries {
          |  SELECT l.vec_id AS a, r.vec_id AS b, ${sqlQcos("l.qv", "r.qv")} AS cos
          |  FROM v l JOIN v r ON l.bucket = r.bucket AND l.vec_id < r.vec_id) p
          |WHERE cos >= 0.25""".stripMargin,
+
+    // same Lloyd rounds + assignment as q_ann_ivf_kmeans, then the SemDeDup
+    // prune: a row survives unless a same-cluster near-dup (cos >= 0.35) is
+    // strictly more prototypical (higher centroid-cosine, ties to smaller id)
+    "q_dedup_semantic" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings),
+         |s0 AS (SELECT vec_id AS list_id, qv AS sv FROM v WHERE vec_id < 16),
+         |${sqlLloydRound("s0", "s1")},
+         |${sqlLloydRound("s1", "s2")},
+         |assigned AS (
+         |  SELECT vec_id, qv, list_id FROM (
+         |    SELECT x.vec_id, x.qv, s.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlQcos("x.qv", "s.sv")} DESC, s.list_id) AS rn
+         |    FROM v x CROSS JOIN s2 s) a
+         |  WHERE rn = 1),
+         |scored AS (
+         |  SELECT a.vec_id, a.qv, a.list_id, ${sqlQcos("a.qv", "s.sv")} AS ccos
+         |  FROM assigned a JOIN s2 s USING (list_id)),
+         |pruned AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM scored x JOIN scored u ON u.list_id = x.list_id AND u.vec_id <> x.vec_id
+         |  WHERE ${sqlQcos("u.qv", "x.qv")} >= 0.35
+         |    AND (u.ccos > x.ccos OR (u.ccos = x.ccos AND u.vec_id < x.vec_id)))
+         |SELECT s.vec_id, s.list_id, s.ccos FROM scored s
+         |ANTI JOIN pruned p ON p.vec_id = s.vec_id""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH v AS (SELECT vec_id, $sqlQuantize AS qv FROM embeddings)
@@ -1626,5 +1667,22 @@ object LlmQueries {
          |  FROM probes p
          |  JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.query_id
          |  JOIN ann_qv c ON c.vec_id = l.vec_id) s
-         |WHERE rn <= 5""".stripMargin)
+         |WHERE rn <= 5""".stripMargin,
+
+    // the timer holds the SemDeDup marginal work: centroid-cosine scoring +
+    // the within-cluster prune (clustering comes from the stored artifacts,
+    // as it comes from AnnIndex on the Spark side)
+    "q_dedup_semantic" ->
+      s"""WITH scored AS (
+         |  SELECT l.vec_id, q.qv, l.list_id, ${sqlQcos("q.qv", "s.sv")} AS ccos
+         |  FROM ann_ivfk_lists l
+         |  JOIN ann_qv q ON q.vec_id = l.vec_id
+         |  JOIN ann_ivfk_seeds s ON s.list_id = l.list_id),
+         |pruned AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM scored x JOIN scored u ON u.list_id = x.list_id AND u.vec_id <> x.vec_id
+         |  WHERE ${sqlQcos("u.qv", "x.qv")} >= 0.35
+         |    AND (u.ccos > x.ccos OR (u.ccos = x.ccos AND u.vec_id < x.vec_id)))
+         |SELECT s.vec_id, s.list_id, s.ccos FROM scored s
+         |ANTI JOIN pruned p ON p.vec_id = s.vec_id""".stripMargin)
 }

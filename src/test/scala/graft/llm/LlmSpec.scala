@@ -386,6 +386,25 @@ class LlmSpec extends AnyFunSuite {
     assert(assignments(existing) ++ assignments(batch) === assignments(emb))
   }
 
+  test("semantic prune keeps exactly the most prototypical member of each near-dup chain") {
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(64 - xs.size)(0.0)).map(_.toFloat).toArray
+    val emb = Seq(
+      0L -> v(1.0), 1L -> v(0, 1.0),           // the two (untrained) seeds
+      2L -> v(0.98, 0.2),                      // cluster 0, cos(0,2) ≈ .980
+      3L -> v(0.9, 0.42),                      // cluster 0, cos(0,3) ≈ .906, cos(2,3) ≈ .972
+      4L -> v(0, 0.9, 0.44)                    // cluster 1, cos(1,4) ≈ .898
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticPrune(emb, "vec_id", "embedding",
+      nClusters = 2, trainIters = 0, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // cluster 0: 2 is pruned by the more prototypical 0; 3's ONLY ≥.95
+    // witness is 2 — itself pruned — yet 3 goes too (the rule needs a more
+    // prototypical near-dup, not a surviving one): exactly the chain's most
+    // prototypical member survives. cluster 1 has no pair above threshold.
+    assert(kept === Set(0L, 1L, 4L))
+  }
+
   test("docFrequencyScore: exact df mass over distinct tokens, repeated tokens counted once") {
     val docs = Seq(
       (1L, "the cat sat"),          // the:3 cat:2 sat:1 -> sum 6, n 3
