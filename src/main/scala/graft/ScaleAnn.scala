@@ -328,6 +328,26 @@ object ScaleAnn {
       out
     }
 
+    // --- SemDeDup semantic prune over the SAME index artifacts (seeds +
+    // inverted lists): within-cluster anti join keeps one representative per
+    // near-dup chain. The replicated corpus is the ideal stress case — every
+    // base vector's `copies` perturbed siblings are semantic near-dups
+    // (sibling cosine ≈ 0.79 here vs inter-base ≈ 0), so an ideal prune
+    // keeps ~(corpus / copies) rows. The quadratic term is cluster-bounded:
+    // 64 lists × (n/64)² pairs ≈ n²/64 — 64× under the all-pairs corpus —
+    // and the anti join exits a row's scan at its FIRST witness, so pruned
+    // rows (the vast majority) never pay a full cluster scan. nClusters
+    // scales with the corpus in production; the harness reuses the 64-list
+    // IVF artifacts to show the artifact-sharing lifecycle.
+    val semTau = sys.env.getOrElse("SCALE_SEM_TAU", "0.7").toDouble
+    val (semKept, semSec, semStraggler, loadSem) = bestOf("semdedup") {
+      graft.llm.Dedup.semanticPrune(corpus, "vec_id", "embedding",
+        nClusters = nLists, trainIters = 0, threshold = semTau,
+        seedTable = Some(seeds),
+        assignedTable = Some(lists.withColumnRenamed("match_id", "vec_id")))
+        .count()
+    }
+
     def recallOf(df: org.apache.spark.sql.DataFrame): Double =
       df.select("query_id", "match_id")
         .intersect(exact.select("query_id", "match_id")).count().toDouble / nExact
@@ -354,12 +374,14 @@ object ScaleAnn {
       s""""lsh_mp_sec":$lshMpSec,"lsh_mp_recall":$lshMpRecall,""" +
       s""""pq_ivf_encode_sec":$pqIvfEncodeSec,"pq_ivf8_sec":$pqIvf8Sec,""" +
       s""""pq_ivf8_recall":$pqIvf8Recall,""" +
+      s""""semdedup_tau":$semTau,"semdedup_sec":$semSec,"semdedup_kept":$semKept,""" +
       s""""stragglers":{"train":$trainStraggler,"build":$buildStraggler,"ivf1":$ivf1Straggler,""" +
       s""""ivf8":$ivf8Straggler,"brute":$bruteStraggler,"pq_encode":$pqEncodeStraggler,""" +
       s""""pq_adc":$pqAdcStraggler,"pq_rerank":$pqRerankStraggler,""" +
       s""""pq_train":$pqTrainStraggler,"pq_encode_trained":$pqEncodeTStraggler,""" +
       s""""pq_adc_trained":$pqAdcTStraggler,""" +
       s""""lsh":$lshStraggler,"lsh_multiprobe":$lshMpStraggler,""" +
+      s""""semdedup":$semStraggler,""" +
       s""""pq_ivf_encode":$pqIvfEncodeStraggler,"pq_ivf8":$pqIvf8Straggler},""" +
       s""""loads":{"train":$loadTrain,"build":$loadBuild,"ivf1":$loadIvf1,""" +
       s""""ivf8":$loadIvf8,"brute":$loadBrute,"pq_encode":$loadEnc,""" +
@@ -367,6 +389,7 @@ object ScaleAnn {
       s""""pq_train":$loadPqTrain,"pq_encode_trained":$loadEncT,""" +
       s""""pq_adc_trained":$loadPqAdcT,""" +
       s""""lsh":$loadLsh,"lsh_multiprobe":$loadLshMp,""" +
+      s""""semdedup":$loadSem,""" +
       s""""pq_ivf_encode":$loadIvfPqEnc,"pq_ivf8":$loadPqIvf8}}""")
     spark.stop()
   }
