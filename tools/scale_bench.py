@@ -162,6 +162,33 @@ def table(merged):
              f"recall {a.get('pq_ivf8_recall', float('nan')):.2f})",
              f"{a['stragglers'].get('pq_ivf8', float('nan')):.2f}"),
         ]
+    if "semdedup_sec" in a:
+        rows += [
+            ("SemDeDup semantic prune (shared IVF artifacts)",
+             f"same corpus, tau={a['semdedup_tau']}",
+             f"{a['semdedup_sec']:.1f}s (kept {a['semdedup_kept']:,} of "
+             f"{a['vectors']:,} = {a['semdedup_kept']/a['vectors']*100:.1f}%)",
+             f"{a['stragglers'].get('semdedup', float('nan')):.2f}"),
+        ]
+    if "lsh_sec" in a:
+        rows += [
+            ("Sign-LSH search: probe-1 / multi-probe (stored planes)",
+             f"same batch, {a['lsh_planes']} planes",
+             f"{a['lsh_sec']:.1f}s / {a['lsh_mp_sec']:.1f}s "
+             f"(recall {a['lsh_recall']:.2f} / {a['lsh_mp_recall']:.2f})",
+             f"{max(a['stragglers']['lsh'], a['stragglers']['lsh_multiprobe']):.2f}"),
+        ]
+    if "pq_train_sec" in a:
+        rows += [
+            ("PQ codebook training (per-subspace Lloyd) + trained ADC",
+             f"{a.get('pq_train_iters', 0)} rounds",
+             f"train {a['pq_train_sec']:.1f}s; quant err "
+             f"{a.get('pq_quant_err', float('nan')):.4f} -> "
+             f"{a.get('pq_quant_err_trained', float('nan')):.4f}; trained-ADC recall "
+             f"{a.get('pq_adc_trained_recall', float('nan')):.2f} "
+             f"(untrained {a.get('pq_adc_recall', float('nan')):.2f})",
+             f"{a['stragglers'].get('pq_adc_trained', float('nan')):.2f}"),
+        ]
     if "scale_zorder" in merged:
         z = merged["scale_zorder"]
         zo, pl = z["zorder"], z["plain"]
