@@ -157,8 +157,6 @@ object Probe {
     spark.stop()
   }
 
-  /** Fresh-session trivial-query cost breakdown, run K times (mirrors one
-    * Bench sample: build a session, read a table, hash-reduce it). */
   /** Does a cross-session global-temp-view read substitute the cached
     * InMemoryRelation (accurate stats, no recompute)? The Catalog's in-db
     * hand-off depends on it. */
@@ -180,6 +178,8 @@ object Probe {
     spark.stop()
   }
 
+  /** Fresh-session trivial-query cost breakdown, run K times (mirrors one
+    * Bench sample: build a session, read a table, hash-reduce it). */
   private def floorProbe(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -126,9 +126,19 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
 
   /** Route future [[write]]s of `ids` to lazy in-session plans (the
     * RDB-storage configuration applied per-id rather than per-node). Marked
-    * ids stay readable through [[read]]/[[readAny]] like any other id. */
+    * ids stay readable through [[read]]/[[readAny]] like any other id.
+    * Callers that mark per-run (EtlGroup) must [[unmarkInDb]] when the run
+    * ends — the mark is catalog state, and leaving it set would silently
+    * make every FUTURE write of the same id non-durable. */
   def markInDb(ids: Seq[String]): Unit = {
     ids.foreach(inDbIds.add)
+    ()
+  }
+
+  /** Undo [[markInDb]]: future writes of `ids` are durable parquet again.
+    * Already-registered in-session tables stay readable until overwritten. */
+  def unmarkInDb(ids: Seq[String]): Unit = {
+    ids.foreach(inDbIds.remove)
     ()
   }
 
@@ -136,7 +146,17 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     * Always writes into the catalog's own namespace, never over a linked input. */
   def write(df: DataFrame, id: String): Unit = {
     retire(id)
-    if (inDbIds.contains(id)) registerLazyTable(df, id)
+    if (inDbIds.contains(id)) {
+      // a durable dataset left under the same id by an earlier catalog would
+      // shadow this lazy table for every FUTURE catalog over the same
+      // baseDir (this session reads the table; the next one reads stale
+      // files). Overwrite semantics say the old rows are gone — delete, so
+      // a later reader fails loudly instead of serving outdated data.
+      val stale = new Path(path(id))
+      val sf = fs(stale)
+      if (sf.exists(stale)) sf.delete(stale, true)
+      registerLazyTable(df, id)
+    }
     else {
       df.write.mode(SaveMode.Overwrite).parquet(path(id))
       schemas.put(id, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -223,19 +243,11 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     if (f.exists(p)) f.delete(p, true)
     // a pointer-published snapshot (object-store path) keeps its data in a
     // versioned directory named by the pointer — remove both
-    val ptr = new Path(s"$baseDir/$id.ptr")
-    if (f.exists(ptr)) {
-      val in = f.open(ptr)
-      val ver = try new Path(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      if (f.exists(ver)) f.delete(ver, true)
-      f.delete(ptr, false)
-    }
+    retirePointer(f, new Path(s"$baseDir/$id.ptr"))
     ()
   }
 
   def copy(fromId: String, toId: String): Unit = {
-    val src = new Path(path(fromId))
     // retire the DESTINATION's previous identity BEFORE resolving its path:
     // copy is an overwrite, and the one-retirement-per-overwrite rule applies
     // — with toId still linked, path(toId) would resolve to the external
@@ -244,10 +256,19 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     // copy lands in the catalog's own namespace, like write().
     retire(toId)
     val dst = new Path(path(toId))
-    val f = fs(src)
-    if (f.exists(dst)) f.delete(dst, true)
-    FileUtil.copy(f, src, fs(dst), dst, false, spark.sparkContext.hadoopConfiguration)
-    Option(schemas.get(fromId)).foreach(schemas.put(toId, _))
+    Option(tables.get(fromId)) match {
+      case Some(df) =>
+        // an in-session source (InDb output / registerTable) has no files to
+        // copy — write the cached rows, the same rule as snapshot()
+        df.write.mode(SaveMode.Overwrite).parquet(dst.toString)
+        schemas.put(toId, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None =>
+        val src = new Path(path(fromId))
+        val dstFs = fs(dst)
+        if (dstFs.exists(dst)) dstFs.delete(dst, true)
+        FileUtil.copy(fs(src), src, dstFs, dst, false, spark.sparkContext.hadoopConfiguration)
+        Option(schemas.get(fromId)).foreach(schemas.put(toId, _))
+    }
     ()
   }
 
@@ -282,56 +303,75 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     } else new Path(s"$baseDir/${cacheId(id)}.parquet")
   }
 
+  /** Delete a superseded snapshot pointer AND the version directory it
+    * targets (retiring only the pointer would orphan a full snapshot copy). */
+  private def retirePointer(f: FileSystem, ptr: Path): Unit = {
+    if (f.exists(ptr)) {
+      val in = f.open(ptr)
+      val ver = try new Path(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      if (f.exists(ver)) f.delete(ver, true)
+      f.delete(ptr, false)
+    }
+    ()
+  }
+
   /** Snapshot `id` to `{id}_cache`.
     *
-    * On a rename-atomic FS (local/HDFS): copy to a temp name then rename, so
-    * a reader of the cache never observes a half-copied dataset, and two
-    * concurrent snapshots of the same id cannot corrupt it (last rename wins
-    * atomically).
+    * On a rename-atomic cache FS (local/HDFS): materialize under a temp name
+    * then rename, so a reader of the cache never observes a half-copied
+    * dataset, and two concurrent snapshots of the same id cannot corrupt it
+    * (last rename wins atomically).
     *
-    * On an object store (no atomic rename): copy into a fresh VERSIONED
-    * directory nobody reads yet, then publish it by overwriting a small
-    * pointer file — a single-object PUT, whose visibility IS atomic on
-    * object stores — and delete the previous version. Readers resolve the
-    * pointer, so they only ever see a fully-written snapshot.
+    * On an object-store cache FS (no atomic rename): materialize into a
+    * fresh VERSIONED directory nobody reads yet, then publish it by
+    * overwriting a small pointer file — a single-object PUT, whose
+    * visibility IS atomic on object stores — and delete the previous
+    * version. Readers resolve the pointer, so they only ever see a
+    * fully-written snapshot.
     *
-    * An id held as an in-session table (InDb outputs) has no source files to
-    * copy; its snapshot writes the cached rows straight to the cache path. */
+    * The rename-vs-pointer decision and every pointer operation run on the
+    * CACHE-side filesystem (the cache always lives under baseDir) — a
+    * linked id whose source files sit on a different store must not pick
+    * the publication protocol from the source's capabilities. An id held
+    * as an in-session table (InDb outputs) has no source files to copy;
+    * its snapshot writes the cached rows into the same temp-then-publish
+    * discipline. */
   def snapshot(id: String): Unit = {
     val cid = cacheId(id)
-    Option(tables.get(id)) match {
-      case Some(df) =>
-        val dst = new Path(s"$baseDir/$cid.parquet")
-        df.write.mode(SaveMode.Overwrite).parquet(dst.toString)
-        val f = fs(dst)
-        if (f.exists(cachePtr(id))) f.delete(cachePtr(id), false)
-        schemas.remove(cid)
-        schemas.put(cid, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+    val dst = new Path(s"$baseDir/$cid.parquet")
+    val cf = fs(dst)
+    // materialize the snapshot bytes into `target` (unpublished), whatever
+    // the source kind: cached in-session rows or a durable file copy
+    def materialize(target: Path): Unit = Option(tables.get(id)) match {
+      case Some(df) => df.write.mode(SaveMode.Overwrite).parquet(target.toString)
       case None =>
         val src = new Path(path(id))
-        val f = fs(src)
-        if (atomicRename(f)) {
-          val tmp = new Path(s"$baseDir/.$cid.tmp${System.nanoTime()}")
-          val dst = new Path(s"$baseDir/$cid.parquet")
-          FileUtil.copy(f, src, f, tmp, false, spark.sparkContext.hadoopConfiguration)
-          if (f.exists(dst)) f.delete(dst, true)
-          f.rename(tmp, dst)
-          if (f.exists(cachePtr(id))) f.delete(cachePtr(id), false)
-        } else {
-          val prev = if (f.exists(cachePtr(id))) Some(cachePath(id)) else None
-          val ver = new Path(s"$baseDir/.$cid.v${System.nanoTime()}")
-          FileUtil.copy(f, src, f, ver, false, spark.sparkContext.hadoopConfiguration)
-          val out = f.create(cachePtr(id), true) // atomic-visibility PUT
-          try out.write(ver.toString.getBytes("UTF-8"))
-          finally out.close()
-          // retire the superseded version and any legacy fixed-path snapshot
-          // (both now unreachable: readers resolve the pointer first)
-          prev.filter(p => p != ver && f.exists(p)).foreach(f.delete(_, true))
-          val legacy = new Path(s"$baseDir/$cid.parquet")
-          if (f.exists(legacy)) f.delete(legacy, true)
-        }
-        schemas.remove(cid) // same rule as copy: no stale destination memo
-        Option(schemas.get(id)).foreach(schemas.put(cid, _))
+        FileUtil.copy(fs(src), src, cf, target, false, spark.sparkContext.hadoopConfiguration)
+    }
+    if (atomicRename(cf)) {
+      val tmp = new Path(s"$baseDir/.$cid.tmp${System.nanoTime()}")
+      materialize(tmp)
+      if (cf.exists(dst)) cf.delete(dst, true)
+      cf.rename(tmp, dst)
+      retirePointer(cf, cachePtr(id)) // legacy pointer-mode snapshot, if any
+    } else {
+      val prev = if (cf.exists(cachePtr(id))) Some(cachePath(id)) else None
+      val ver = new Path(s"$baseDir/.$cid.v${System.nanoTime()}")
+      materialize(ver)
+      val out = cf.create(cachePtr(id), true) // atomic-visibility PUT
+      try out.write(ver.toString.getBytes("UTF-8"))
+      finally out.close()
+      // retire the superseded version and any legacy fixed-path snapshot
+      // (both now unreachable: readers resolve the pointer first)
+      prev.filter(p => p != ver && cf.exists(p)).foreach(cf.delete(_, true))
+      if (cf.exists(dst)) cf.delete(dst, true)
+    }
+    schemas.remove(cid) // same rule as copy: no stale destination memo
+    Option(tables.get(id)) match {
+      case Some(df) =>
+        schemas.put(cid, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => Option(schemas.get(id)).foreach(schemas.put(cid, _))
     }
     ()
   }

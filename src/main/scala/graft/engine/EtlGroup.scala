@@ -88,7 +88,15 @@ class EtlGroup(
     * multi-consumer intermediates or restartable long pipelines. */
   def execute(cat: Catalog, maxActiveRun: Int, inDbIntermediates: Boolean = false): Unit = {
     require(maxActiveRun >= 1)
+    // mark is PER-RUN state: unmark on every exit path, else the next run of
+    // any group writing a colliding id on this catalog — including this
+    // group re-run with the default flag — silently loses durability
     if (inDbIntermediates) cat.markInDb(intermediateIds)
+    try executeInner(cat, maxActiveRun)
+    finally if (inDbIntermediates) cat.unmarkInDb(intermediateIds)
+  }
+
+  private def executeInner(cat: Catalog, maxActiveRun: Int): Unit = {
     if (maxActiveRun == 1) {
       // deterministic sequential topo order
       val done = mutable.Set[EtlNode]()

@@ -460,12 +460,6 @@ object Dedup {
     graft.ops.StaticScope.materialize(df)(pairs)
   }
 
-  /** Cosine from quantized vectors whose self-dots (`na`/`nb`) are already
-    * materialized — same value as recomputing, a third of the arithmetic
-    * (mirrors [[Similarity]]'s internal normed form). */
-  private def cosWithNorms(dot: Column, na: Column, nb: Column): Column =
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-
   /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication", arXiv:2303.09540):
     * cluster the embeddings with the deterministic Lloyd-trained coarse
@@ -503,13 +497,13 @@ object Dedup {
       col("sv"), Similarity.qdot(col("sv"), col("sv")).as("sn"))
     val scored = assigned.join(broadcast(seedNorms), "list_id")
       .select(col(idCol), col("list_id"), col("v"), col("vn"),
-        cosWithNorms(Similarity.qdot(col("v"), col("sv")), col("vn"), col("sn")).as("ccos"))
+        Similarity.normedCos(Similarity.qdot(col("v"), col("sv")), col("vn"), col("sn")).as("ccos"))
     val witness = scored.select(col("list_id").as("u_list"), col(idCol).as("u_id"),
       col("v").as("uv"), col("vn").as("un"), col("ccos").as("u_ccos"))
     scored.join(witness,
       col("u_list") === col("list_id") &&
         col("u_id") =!= col(idCol) &&
-        cosWithNorms(Similarity.qdot(col("uv"), col("v")), col("un"), col("vn"))
+        Similarity.normedCos(Similarity.qdot(col("uv"), col("v")), col("un"), col("vn"))
           >= threshold &&
         (col("u_ccos") > col("ccos") ||
           (col("u_ccos") === col("ccos") && col("u_id") < col(idCol))),

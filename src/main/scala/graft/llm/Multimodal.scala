@@ -84,10 +84,17 @@ object Multimodal {
       val hRaw = le32(p, 22)
       val bpp = le16(p, 28)
       val comp = le32(p, 30)
-      if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0) return None
+      // dimension bounds guard the Int arithmetic below: a hostile header
+      // can claim w = 2^30 (3*w overflows to a negative stride, defeating
+      // the size check) or hRaw = Int.MinValue (abs stays negative). Any
+      // honest dimension is bounded by the payload size anyway — a 24-bpp
+      // row needs 3 bytes per pixel — so reject first, never throw.
+      if (bpp != 24 || comp != 0) return None
+      if (w <= 0 || w > (p.length - 54) / 3) return None
+      if (hRaw == 0 || hRaw == Int.MinValue) return None
       val h = math.abs(hRaw)
       val topDown = hRaw < 0
-      val stride = (3 * w + 3) & ~3
+      val stride = (3 * w + 3) & ~3 // w <= len/3 keeps 3*w well inside Int
       if (off < 54 || off.toLong + stride.toLong * h > p.length) return None
       var cs = 0L
       var k = 0L

@@ -79,7 +79,7 @@ object Similarity {
     * `qcosine` in a join does) triples the arithmetic of every candidate
     * scoring join. Each side carries its norm column instead; the value is
     * bit-identical (same integer self-dot, same IEEE sqrt, evaluated once). */
-  private def normedCos(dot: Column, na: Column, nb: Column): Column =
+  private[llm] def normedCos(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** Brute-force cosine top-k: each query row against the whole corpus.

@@ -217,6 +217,49 @@ class CatalogSpec extends AnyFunSuite {
     assert(TestSpark.rows(cat.loadCache("mem")) === Set(Seq(1, "a"), Seq(2, "b")))
   }
 
+  test("in-session snapshot in pointer mode publishes a version and retires the old one") {
+    // the in-session branch must follow the SAME publication discipline as
+    // the file-copy branch: pointer publish on the non-atomic-rename store,
+    // superseded version deleted (not orphaned)
+    System.setProperty("graft.fs.atomicRename", "false")
+    try {
+      val cat = freshCat()
+      cat.registerTable(Seq(1, 2).toDF("v"), "mem")
+      cat.snapshot("mem")
+      val ptr = new java.io.File(s"${cat.baseDir}/mem_cache.ptr")
+      assert(ptr.exists(), "in-session snapshot must pointer-publish on a non-atomic store")
+      val ver1 = scala.io.Source.fromFile(ptr).mkString.trim
+      cat.registerTable(Seq(9).toDF("v"), "mem")
+      cat.snapshot("mem")
+      assert(TestSpark.rows(cat.loadCache("mem")) === Set(Seq(9)))
+      assert(!new java.io.File(ver1.stripPrefix("file:")).exists(),
+        "superseded in-session snapshot version must be deleted")
+    } finally System.clearProperty("graft.fs.atomicRename")
+  }
+
+  test("copy of an in-session (InDb) table writes the cached rows durably") {
+    val cat = freshCat()
+    cat.markInDb(Seq("a"))
+    cat.write(Seq((1, "x")).toDF("k", "v"), "a")
+    cat.copy("a", "b")
+    assert(TestSpark.rows(spark.read.parquet(cat.path("b"))) === Set(Seq(1, "x")))
+  }
+
+  test("inDb write deletes a stale durable dataset; unmark restores durability") {
+    val cat = freshCat()
+    cat.write(Seq(1).toDF("v"), "x") // durable files from an earlier run
+    cat.markInDb(Seq("x"))
+    cat.write(Seq(2).toDF("v"), "x") // lazy table only
+    assert(TestSpark.rows(cat.read("x")) === Set(Seq(2)))
+    // the stale run-1 parquet must be GONE: a future catalog over the same
+    // baseDir would otherwise silently serve v=1
+    assert(!new java.io.File(cat.path("x").stripPrefix("file:")).exists(),
+      "stale durable dataset must not shadow the in-session overwrite")
+    cat.unmarkInDb(Seq("x"))
+    cat.write(Seq(3).toDF("v"), "x") // durable again
+    assert(TestSpark.rows(spark.read.parquet(cat.path("x"))) === Set(Seq(3)))
+  }
+
   test("link reads an external dataset without copying; write stays internal") {
     val cat = freshCat()
     val extDir = Files.createTempDirectory("graft_ext").toString

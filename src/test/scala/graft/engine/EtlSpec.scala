@@ -169,6 +169,12 @@ class EtlSpec extends AnyFunSuite {
     assert(!new java.io.File(s"${cat.baseDir}/mid2.parquet").exists())
     // the group output IS durable parquet
     assert(new java.io.File(s"${cat.baseDir}/fin_indb.parquet").exists())
+    // the mark is per-RUN: after the group returns, a write of the same id
+    // (this group re-run with the default flag, or any other producer) is
+    // durable parquet again
+    cat.write(Seq((9, "z")).toDF("k", "tag"), "mid1")
+    assert(new java.io.File(s"${cat.baseDir}/mid1.parquet").exists(),
+      "inDb mark must not outlive the group run")
   }
 
   test("concurrency cap is respected") {

@@ -654,6 +654,15 @@ class LlmSpec extends AnyFunSuite {
     assert(decodePixels("plain text".getBytes("UTF-8")) === None)
     val bpp8 = header(2).clone(); bpp8(28) = 8
     assert(decodePixels(bpp8 ++ rowY1 ++ rowY0) === None)
+    // hostile dimensions must reject, not overflow: w=2^30 makes 3*w wrap
+    // negative (stride -2^30 defeated the old Long size check and indexed
+    // out of bounds); hRaw=Int.MinValue survives math.abs still negative
+    val wide = header(2).clone()
+    System.arraycopy(le32(1 << 30), 0, wide, 18, 4)
+    assert(decodePixels(wide ++ rowY1 ++ rowY0) === None)
+    val minH = header(2).clone()
+    System.arraycopy(le32(Int.MinValue), 0, minH, 22, 4)
+    assert(decodePixels(minH ++ rowY1 ++ rowY0) === None)
   }
 
   test("header decoder never throws on arbitrary bytes (fuzz with magic prefixes)") {
