@@ -122,40 +122,64 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   // node pay a parquet encode + commit + footer-read + job-boundary floor
   // per hop for no durability benefit. See [[EtlGroup.execute]]'s
   // inDbIntermediates and [[registerLazyTable]] for the measured trade.
-  private val inDbIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // REFCOUNTED, not a flat set: two concurrent EtlGroup runs over one
+  // catalog may mark overlapping ids, and the first run's finally-unmark
+  // must not flip the second run's remaining intermediate writes back to
+  // durable parquet mid-run — an id stays marked until every marker has
+  // unmarked it.
+  private val inDbIds = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Route future [[write]]s of `ids` to lazy in-session plans (the
     * RDB-storage configuration applied per-id rather than per-node). Marked
     * ids stay readable through [[read]]/[[readAny]] like any other id.
     * Callers that mark per-run (EtlGroup) must [[unmarkInDb]] when the run
     * ends — the mark is catalog state, and leaving it set would silently
-    * make every FUTURE write of the same id non-durable. */
+    * make every FUTURE write of the same id non-durable. Marks are
+    * refcounted per id: concurrent runs marking the same id each hold an
+    * independent mark, and the id reverts to durable only when the LAST
+    * marker unmarks (balanced mark/unmark pairs per caller).
+    *
+    * DURABILITY CONTRACT: a marked id must be recomputable from its DAG.
+    * Overwrite semantics delete any stale durable dataset left under the
+    * same id by an earlier run, and the lazy replacement only ever
+    * materializes inside this session's terminal actions — so a crash
+    * mid-run leaves the id with no files, by design (see [[write]]). */
   def markInDb(ids: Seq[String]): Unit = {
-    ids.foreach(inDbIds.add)
+    ids.foreach(id => inDbIds.merge(id, 1, (a, b) => a + b))
     ()
   }
 
-  /** Undo [[markInDb]]: future writes of `ids` are durable parquet again.
-    * Already-registered in-session tables stay readable until overwritten. */
+  /** Undo one [[markInDb]] of `ids`: each id's refcount drops by one, and
+    * writes of it are durable parquet again only when no other marker
+    * remains. Already-registered in-session tables stay readable until
+    * overwritten. Unmarking an id that was never marked is a no-op. */
   def unmarkInDb(ids: Seq[String]): Unit = {
-    ids.foreach(inDbIds.remove)
+    ids.foreach(id => inDbIds.computeIfPresent(id, (_, n) => if (n <= 1) null else n - 1))
     ()
   }
+
+  /** True while at least one caller holds an in-db mark on `id`. */
+  def isInDb(id: String): Boolean = inDbIds.containsKey(id)
 
   /** Full overwrite per run — the reference has no updates (storage.py:151-155).
     * Always writes into the catalog's own namespace, never over a linked input. */
   def write(df: DataFrame, id: String): Unit = {
     retire(id)
-    if (inDbIds.contains(id)) {
+    if (inDbIds.containsKey(id)) {
       // a durable dataset left under the same id by an earlier catalog would
       // shadow this lazy table for every FUTURE catalog over the same
       // baseDir (this session reads the table; the next one reads stale
       // files). Overwrite semantics say the old rows are gone — delete, so
       // a later reader fails loudly instead of serving outdated data.
+      // Register the lazy replacement FIRST, then delete: a failed delete
+      // leaves the run fully functional in-session, and the no-files window
+      // after a crash is covered by the [[markInDb]] durability contract —
+      // marked ids are DAG-recomputable intermediates by definition, so
+      // "recompute from the DAG" is the recovery path, not the stale rows.
+      registerLazyTable(df, id)
       val stale = new Path(path(id))
       val sf = fs(stale)
       if (sf.exists(stale)) sf.delete(stale, true)
-      registerLazyTable(df, id)
     }
     else {
       df.write.mode(SaveMode.Overwrite).parquet(path(id))
@@ -304,8 +328,12 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   }
 
   /** Delete a superseded snapshot pointer AND the version directory it
-    * targets (retiring only the pointer would orphan a full snapshot copy). */
+    * targets (retiring only the pointer would orphan a full snapshot copy),
+    * then GC every remaining version directory of the same id — pointer
+    * retirement is explicit destruction (drop / protocol switch), so no
+    * version may outlive it. */
   private def retirePointer(f: FileSystem, ptr: Path): Unit = {
+    val cid = ptr.getName.stripSuffix(".ptr")
     if (f.exists(ptr)) {
       val in = f.open(ptr)
       val ver = try new Path(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
@@ -313,8 +341,43 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
       if (f.exists(ver)) f.delete(ver, true)
       f.delete(ptr, false)
     }
+    gcVersions(f, cid, keep = None, graceMs = 0L)
     ()
   }
+
+  /** Millis-since-epoch a version directory was created at, parsed from its
+    * `.{cid}.v{millis}_{nano}` name; legacy nano-only names (pre-r17) parse
+    * as 0 = arbitrarily old, so they are always GC-eligible. */
+  private def versionBirthMillis(name: String, cid: String): Long = {
+    val stamp = name.stripPrefix(s".$cid.v")
+    val millis = stamp.takeWhile(_ != '_')
+    if (stamp.contains('_')) scala.util.Try(millis.toLong).getOrElse(0L) else 0L
+  }
+
+  /** Delete every `.{cid}.v*` version directory except `keep`, skipping
+    * directories younger than `graceMs` — the published snapshot is `keep`;
+    * anything else is either a superseded version or an orphan from a crash
+    * between materialize and the pointer PUT (or from a lost concurrent
+    * publish race). The grace window protects a CONCURRENT snapshot still
+    * materializing into its own fresh directory: deleting that mid-write
+    * would let its later pointer PUT publish a dangling target. Default
+    * 15 min (sys prop `graft.fs.snapshotGcGraceMs`) — far beyond any
+    * single snapshot copy, so steady-state orphans are bounded to one
+    * grace window's worth. */
+  private def gcVersions(f: FileSystem, cid: String, keep: Option[Path], graceMs: Long): Unit = {
+    val base = new Path(baseDir)
+    if (!f.exists(base)) return
+    val now = System.currentTimeMillis()
+    f.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith(s".$cid.v"))
+      .filterNot(p => keep.exists(k => p.toUri.getPath == k.toUri.getPath))
+      .filter(p => now - versionBirthMillis(p.getName, cid) >= graceMs)
+      .foreach(f.delete(_, true))
+    ()
+  }
+
+  private def snapshotGcGraceMs: Long =
+    sys.props.get("graft.fs.snapshotGcGraceMs").map(_.toLong).getOrElse(15L * 60 * 1000)
 
   /** Snapshot `id` to `{id}_cache`.
     *
@@ -357,14 +420,23 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
       retirePointer(cf, cachePtr(id)) // legacy pointer-mode snapshot, if any
     } else {
       val prev = if (cf.exists(cachePtr(id))) Some(cachePath(id)) else None
-      val ver = new Path(s"$baseDir/.$cid.v${System.nanoTime()}")
+      val ver = new Path(s"$baseDir/.$cid.v${System.currentTimeMillis()}_${System.nanoTime()}")
       materialize(ver)
       val out = cf.create(cachePtr(id), true) // atomic-visibility PUT
       try out.write(ver.toString.getBytes("UTF-8"))
       finally out.close()
-      // retire the superseded version and any legacy fixed-path snapshot
-      // (both now unreachable: readers resolve the pointer first)
+      // retire the captured prev immediately — it was the PUBLISHED target,
+      // so no concurrent snapshot is materializing into it — then GC every
+      // OTHER version the pointer no longer targets: versions orphaned by a
+      // crash between materialize and the PUT, and by a lost
+      // concurrent-publish race (two snapshots capturing the same prev).
+      // Those unknown directories get a grace window, because one of them
+      // may be a concurrent snapshot still materializing — deleting that
+      // mid-write would let its later PUT publish a dangling target.
       prev.filter(p => p != ver && cf.exists(p)).foreach(cf.delete(_, true))
+      gcVersions(cf, cid, keep = Some(ver), graceMs = snapshotGcGraceMs)
+      // the legacy fixed-path snapshot is unreachable too: readers resolve
+      // the pointer first
       if (cf.exists(dst)) cf.delete(dst, true)
     }
     schemas.remove(cid) // same rule as copy: no stale destination memo

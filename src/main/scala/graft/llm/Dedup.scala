@@ -466,10 +466,15 @@ object Dedup {
     * quantizer ([[Similarity.kmeansSeeds]]), then within each cluster DROP
     * every document that has a more prototypical semantic near-duplicate — a
     * cluster-mate at cosine ≥ `threshold` whose own centroid-cosine is higher
-    * (exact ties break to the smaller id, so the rule is a strict total order
-    * and exactly one member of every near-dup chain survives: the chain's
-    * most prototypical document). Output: the KEPT rows
-    * (idCol, list_id, ccos), ccos = cosine to the cluster centroid.
+    * (exact ties break to the smaller id, so the witness rule is a strict
+    * total order). Guarantee: AT LEAST one member of every near-dup chain
+    * survives (the chain's most prototypical member has no more-prototypical
+    * witness), and within a MUTUALLY-near-dup clique exactly the most
+    * prototypical member survives. A non-clique chain a-b-c with
+    * cos(a,c) < threshold and ccos(a) > ccos(c) > ccos(b) keeps both a and c:
+    * c's only near-dup witness b is less prototypical than c, so nothing
+    * prunes c. Output: the KEPT rows (idCol, list_id, ccos), ccos = cosine to
+    * the cluster centroid.
     *
     * Scale shape — this is the member of the dedup family built for
     * embedding-space dedup at corpus scale: the quadratic term is bounded by

@@ -21,7 +21,7 @@ import graft.er._
 object ErQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   // --- shared pipeline stages (Spark side) ---
 

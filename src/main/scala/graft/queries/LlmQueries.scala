@@ -16,7 +16,7 @@ import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 object LlmQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   /** Per-JVM ANN index-artifact cache. The production ANN lifecycle builds
     * the index ONCE per corpus snapshot — kmeans seeds, inverted lists, PQ

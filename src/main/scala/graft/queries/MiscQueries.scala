@@ -11,7 +11,7 @@ import graft.ops.{AsofJoin, Ids, Incremental, JsonFlatten, PortableHash, RangeJo
 object MiscQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F7+F8: parse JSON string column, flatten struct field (tabularize.py:44-71).

@@ -18,7 +18,7 @@ import graft.ops.DistinctOn
 object Relational {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   /** Exact sum of a double column: decimal accumulation, double result. */
   private def dsum(c: org.apache.spark.sql.Column) =

@@ -260,6 +260,63 @@ class CatalogSpec extends AnyFunSuite {
     assert(TestSpark.rows(spark.read.parquet(cat.path("x"))) === Set(Seq(3)))
   }
 
+  test("inDb marks are refcounted: an id stays lazy until the LAST marker unmarks") {
+    val cat = freshCat()
+    // two concurrent runs (EtlGroups) each mark the same intermediate id;
+    // the first run's unmark must not demote the id while the second still
+    // holds its mark
+    cat.markInDb(Seq("m"))
+    cat.markInDb(Seq("m"))
+    cat.unmarkInDb(Seq("m")) // first run ends
+    assert(cat.isInDb("m"), "id must stay marked while another marker holds it")
+    cat.write(Seq(1).toDF("v"), "m")
+    assert(!new java.io.File(s"${cat.baseDir}/m.parquet").exists(),
+      "write under a surviving mark must stay in-session")
+    cat.unmarkInDb(Seq("m")) // last marker ends
+    assert(!cat.isInDb("m"))
+    cat.write(Seq(2).toDF("v"), "m")
+    assert(new java.io.File(s"${cat.baseDir}/m.parquet").exists(),
+      "after the last unmark, writes are durable parquet again")
+    // unbalanced extra unmark is a no-op, not a negative count
+    cat.unmarkInDb(Seq("m"))
+    assert(!cat.isInDb("m"))
+  }
+
+  test("pointer-mode publish GCs orphaned version directories, sparing young ones") {
+    // orphans arise from a crash between materialize and the pointer PUT, or
+    // from the loser of a concurrent publish race; the next successful
+    // publish must collect them — except directories younger than the grace
+    // window, which may be a concurrent snapshot still materializing
+    System.setProperty("graft.fs.atomicRename", "false")
+    try {
+      val cat = freshCat()
+      val base = new java.io.File(cat.baseDir)
+      // a crash orphan: legacy nano-only name parses as birth 0 = expired
+      val legacyOrphan = new java.io.File(base, ".d_cache.v12345")
+      assert(legacyOrphan.mkdir())
+      // an expired wall-clock-stamped orphan
+      val oldOrphan = new java.io.File(base, ".d_cache.v1000_1")
+      assert(oldOrphan.mkdir())
+      // a YOUNG directory — stands in for a concurrent snapshot mid-write
+      val young = new java.io.File(base, s".d_cache.v${System.currentTimeMillis()}_1")
+      assert(young.mkdir())
+      cat.write(Seq(1).toDF("v"), "d")
+      cat.snapshot("d")
+      assert(!legacyOrphan.exists(), "legacy orphan version must be GCed on publish")
+      assert(!oldOrphan.exists(), "expired orphan version must be GCed on publish")
+      assert(young.exists(), "a version younger than the grace window must survive")
+      // the published version itself survives, of course
+      val ptr = new java.io.File(s"${cat.baseDir}/d_cache.ptr")
+      val ver = scala.io.Source.fromFile(ptr).mkString.trim
+      assert(new java.io.File(ver.stripPrefix("file:")).exists())
+      assert(TestSpark.rows(cat.loadCache("d")) === Set(Seq(1)))
+      // drop is explicit destruction: every version goes, grace or not
+      cat.drop(cat.cacheId("d"))
+      assert(!ptr.exists() && !young.exists(),
+        "drop must GC all version directories including young ones")
+    } finally System.clearProperty("graft.fs.atomicRename")
+  }
+
   test("link reads an external dataset without copying; write stays internal") {
     val cat = freshCat()
     val extDir = Files.createTempDirectory("graft_ext").toString

@@ -177,6 +177,62 @@ class EtlSpec extends AnyFunSuite {
       "inDb mark must not outlive the group run")
   }
 
+  test("inDb marks survive a CONCURRENT group's earlier finish (refcounted, not flat)") {
+    // two groups over ONE catalog, both marking the intermediate id 'mid'.
+    // Group A runs to completion (and unmarks) while group B is still
+    // mid-DAG; B's subsequent write of 'mid' must STILL be in-session — a
+    // flat mark set would have been cleared by A's finally-unmark.
+    val cat = freshCat()
+    cat.write(Seq(1).toDF("k"), "src")
+    val bStarted = new java.util.concurrent.CountDownLatch(1)
+    val aFinished = new java.util.concurrent.CountDownLatch(1)
+    val gA = new EtlGroup("gA", Seq(
+      new SqlNode("a1", Seq("src"), Map("mid" -> "SELECT k FROM src")),
+      new SqlNode("a2", Seq("mid"), Map("out_a" -> "SELECT k FROM mid"))))
+    val gB = new EtlGroup("gB", Seq(
+      new DfNode("b1", Seq("src"), Seq("b_gate"), fn = { case Seq(s) =>
+        bStarted.countDown()
+        assert(aFinished.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        Seq(s)
+      }),
+      new SqlNode("b2", Seq("b_gate"), Map("mid" -> "SELECT k + 1 AS k FROM b_gate")),
+      new SqlNode("b3", Seq("mid"), Map("out_b" -> "SELECT k FROM mid"))))
+    val bErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val bThread = new Thread(() =>
+      try gB.execute(cat, maxActiveRun = 2, inDbIntermediates = true)
+      catch { case t: Throwable => bErr.set(t) })
+    bThread.start()
+    assert(bStarted.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    gA.execute(cat, maxActiveRun = 2, inDbIntermediates = true) // marks, runs, unmarks
+    aFinished.countDown()
+    bThread.join(120000)
+    assert(!bThread.isAlive && bErr.get() == null, s"group B failed: ${bErr.get()}")
+    assert(TestSpark.rows(cat.read("out_a")) === Set(Seq(1)))
+    assert(TestSpark.rows(cat.read("out_b")) === Set(Seq(2)))
+    // B wrote 'mid' AFTER A's unmark — refcounting must have kept it lazy
+    assert(!new java.io.File(s"${cat.baseDir}/mid.parquet").exists(),
+      "the second run's intermediate write must not be demoted to durable parquet")
+    // with both runs over, the id is durable again
+    cat.write(Seq(9).toDF("k"), "mid")
+    assert(new java.io.File(s"${cat.baseDir}/mid.parquet").exists())
+  }
+
+  test("a mid-DAG failure in a concurrent inDb run releases the marks (next run durable)") {
+    val cat = freshCat()
+    cat.write(Seq(1).toDF("v"), "base")
+    val g = new EtlGroup("g_fail_indb", Seq(
+      new SqlNode("n1", Seq("base"), Map("mid" -> "SELECT v FROM base")),
+      new SqlNode("n2", Seq("mid"), Map("out_f" -> "SELECT no_such FROM mid"))))
+    intercept[RuntimeException](
+      g.execute(cat, maxActiveRun = 2, inDbIntermediates = true))
+    // the finally-unmark ran: the same catalog is durable for the next run
+    assert(!cat.isInDb("mid"))
+    cat.write(Seq(7).toDF("v"), "mid")
+    assert(new java.io.File(s"${cat.baseDir}/mid.parquet").exists(),
+      "a failed inDb run must not leave its marks behind")
+    assert(TestSpark.rows(spark.read.parquet(cat.path("mid"))) === Set(Seq(7)))
+  }
+
   test("concurrency cap is respected") {
     val cat = freshCat()
     val active = new AtomicInteger(0)

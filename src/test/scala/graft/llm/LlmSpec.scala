@@ -386,7 +386,7 @@ class LlmSpec extends AnyFunSuite {
     assert(assignments(existing) ++ assignments(batch) === assignments(emb))
   }
 
-  test("semantic prune keeps exactly the most prototypical member of each near-dup chain") {
+  test("semantic prune: within a monotone chain exactly the most prototypical member survives") {
     def v(xs: Double*): Array[Float] =
       (xs ++ Seq.fill(64 - xs.size)(0.0)).map(_.toFloat).toArray
     val emb = Seq(
@@ -403,6 +403,25 @@ class LlmSpec extends AnyFunSuite {
     // prototypical near-dup, not a surviving one): exactly the chain's most
     // prototypical member survives. cluster 1 has no pair above threshold.
     assert(kept === Set(0L, 1L, 4L))
+  }
+
+  test("semantic prune: a non-monotone chain keeps BOTH endpoints (at-least-one guarantee)") {
+    // The documented limit of the witness rule: chain a-b-c where
+    // cos(a,c) < threshold and ccos(a) > ccos(c) > ccos(b). b is pruned by
+    // both a and c, but c's only near-dup witness (b) is LESS prototypical
+    // than c, so c survives alongside a — two survivors from one chain.
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(64 - xs.size)(0.0)).map(_.toFloat).toArray
+    val emb = Seq(
+      0L -> v(1.0),                       // the single (untrained) seed = centroid
+      1L -> v(0.6, 0.8),                  // a: ccos .60
+      2L -> v(0.4, 0.72, 0.33, 0.4612),   // b: ccos .40; cos(a,b) ≈ .816, cos(b,c) ≈ .817
+      3L -> v(0.5, 0.55, 0.669)           // c: ccos .50; cos(a,c) ≈ .74 < threshold
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticPrune(emb, "vec_id", "embedding",
+      nClusters = 1, trainIters = 0, threshold = 0.8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 3L))
   }
 
   test("docFrequencyScore: exact df mass over distinct tokens, repeated tokens counted once") {
