@@ -312,21 +312,111 @@ object ScaleAnn {
     // recall): real sampled hyperplanes, generated deterministically and
     // probed as a fixed artifact — the q_ann_lsh production path. 2^planes
     // buckets; candidates are within-bucket only, so recall is the honest
-    // price of probe-1 bucketing (multi-probe widens it).
+    // price of probe-1 bucketing (multi-probe widens it). SWEPT over plane
+    // counts (r16 advice #5): more planes = smaller buckets = cheaper scans
+    // and lower recall; the artifact carries the whole tradeoff curve so the
+    // recommended default (multi-probe) sits next to its alternatives.
     val lshNPlanes = sys.env.getOrElse("SCALE_LSH_PLANES", "12").toInt
-    val lshPlanes = Similarity.randomHyperplanes(64, lshNPlanes, seed = 42L)
-    val (lsh, lshSec, lshStraggler, loadLsh) = bestOf("lsh") {
-      val out = Similarity.bucketTopK(corpus, queries, "vec_id", "embedding",
-        lshPlanes, k = k).localCheckpoint(true)
-      out.count()
-      out
+    val lshSweepPlanes = sys.env.getOrElse("SCALE_LSH_SWEEP", "8,12,16")
+      .split(",").map(_.trim.toInt).toSeq
+    case class LshPoint(planes: Int, sec: Double, straggler: Double, load: Double,
+                        mpSec: Double, mpStraggler: Double, mpLoad: Double,
+                        recall: Double, mpRecall: Double,
+                        df: org.apache.spark.sql.DataFrame,
+                        mpDf: org.apache.spark.sql.DataFrame)
+    val lshSweep = lshSweepPlanes.map { p =>
+      val planes = Similarity.randomHyperplanes(64, p, seed = 42L)
+      val (df, sec, st, load) = bestOf(s"lsh_p$p") {
+        val out = Similarity.bucketTopK(corpus, queries, "vec_id", "embedding",
+          planes, k = k).localCheckpoint(true)
+        out.count()
+        out
+      }
+      val (mpDf, mpSec, mpSt, mpLoad) = bestOf(s"lsh_mp_p$p") {
+        val out = Similarity.multiProbeTopK(corpus, queries, "vec_id", "embedding",
+          planes, k = k).localCheckpoint(true)
+        out.count()
+        out
+      }
+      LshPoint(p, sec, st, load, mpSec, mpSt, mpLoad, -1.0, -1.0, df, mpDf)
     }
-    val (lshMp, lshMpSec, lshMpStraggler, loadLshMp) = bestOf("lsh_multiprobe") {
-      val out = Similarity.multiProbeTopK(corpus, queries, "vec_id", "embedding",
-        lshPlanes, k = k).localCheckpoint(true)
-      out.count()
-      out
+    val at12 = lshSweep.find(_.planes == lshNPlanes).getOrElse(lshSweep.head)
+    val (lsh, lshSec, lshStraggler, loadLsh) = (at12.df, at12.sec, at12.straggler, at12.load)
+    val (lshMp, lshMpSec, lshMpStraggler, loadLshMp) = (at12.mpDf, at12.mpSec, at12.mpStraggler, at12.mpLoad)
+
+    // --- SPREAD corpus: the falsification experiment the r16 verdict asked
+    // for (What's wrong #1/#2). On the replicated corpus above, flat-ADC
+    // recall is bounded by corpus geometry — every query's true top-k are
+    // its own `copies` perturbed siblings, siblings share identical codes,
+    // and within-code ranking is id-tie-break — so trained-vs-untrained
+    // recall CANNOT separate there, whatever the codebook. This corpus
+    // removes the bound: the same 500k rows, but every vector is a UNIQUE
+    // point on the chord between two hash-picked base vectors
+    // (α·b1 + (1-α)·b2 + small hash noise), so no two rows share codes by
+    // construction and ADC ranking quality is actually exercised. Same
+    // strided seeding. The artifact then reports trained vs untrained
+    // flat-ADC recall AND quantization error side by side: if training
+    // helps, it must show here or nowhere.
+    val (spreadCorpus, spreadGenSec, _, _) = bestOf("spread_gen") {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val nBase = base.count()
+      val pts = spark.range(nVecs).select(col("id").as("vec_id"),
+          pmod(col("id") * 2654435761L, lit(nBase)).as("b1"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nBase)).as("b2"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(1000)).cast("double") / 1000.0).as("alpha"))
+        .join(broadcast(base.select(col("bid").as("b1"), col("bv").as("v1"))), Seq("b1"))
+        .join(broadcast(base.select(col("bid").as("b2"), col("bv").as("v2"))), Seq("b2"))
+        .select(col("vec_id"),
+          expr("""transform(v1, (x, j) -> CAST(alpha * x + (1.0 - alpha) * element_at(v2, j + 1)
+               |  + (xxhash64(vec_id, j) % 101) * 0.0005 AS FLOAT))""".stripMargin)
+            .as("embedding"))
+      pts.repartition(n, col("vec_id"))
+        .write.mode("overwrite").parquet(s"$work/spread.parquet")
+      spark.read.parquet(s"$work/spread.parquet")
     }
+    val spreadQueries = spreadCorpus.filter(col("vec_id") < nQueries)
+    val (spreadExact, spreadBruteSec, _, loadSpreadBrute) = bestOf("spread_brute") {
+      val e = Similarity.bruteForceTopK(spreadCorpus, spreadQueries,
+        "vec_id", "embedding", k = k).localCheckpoint(true)
+      e.count()
+      e
+    }
+    val nSpreadExact = spreadExact.count()
+    val spreadStride = math.max(1L, nVecs / pqCodes)
+    val spreadSeedWhere = col("vec_id") % spreadStride === 0 &&
+      col("vec_id") < spreadStride * pqCodes
+    val spreadCb = Similarity.pqCodebook(spreadCorpus, "vec_id", "embedding",
+      pqM, pqCodes, Some(spreadSeedWhere))
+    val (spreadCbT, spreadTrainSec, _, loadSpreadTrain) = bestOf("spread_pq_train") {
+      Similarity.pqCodebookTrained(spreadCorpus, "vec_id", "embedding",
+        pqM, pqCodes, pqTrainIters, Some(spreadSeedWhere))
+    }
+    def spreadAdc(cbX: Array[Array[Array[Long]]], path: String, tag: String)
+        : (org.apache.spark.sql.DataFrame, Double, Double, Double) = {
+      val enc = Similarity.pqEncode(spreadCorpus, "vec_id", "embedding", cbX, "match_id")
+      enc.write.mode("overwrite").parquet(path)
+      val encRead = spark.read.parquet(path)
+      bestOf(tag) {
+        val out = Similarity.pqTopK(spreadCorpus, spreadQueries, "vec_id", "embedding",
+          m = pqM, nCodes = pqCodes, k = k, rerank = 0,
+          codebook = Some(cbX), encTable = Some(encRead))
+          .localCheckpoint(true)
+        out.count()
+        out
+      }
+    }
+    val (spreadAdcU, spreadAdcSec, _, loadSpreadAdc) =
+      spreadAdc(spreadCb, s"$work/spread_pq.parquet", "spread_adc")
+    val (spreadAdcT, spreadAdcTSec, _, loadSpreadAdcT) =
+      spreadAdc(spreadCbT, s"$work/spread_pq_t.parquet", "spread_adc_trained")
+    val spreadQuantErr = Similarity.pqQuantErr(spreadCorpus, "vec_id", "embedding", spreadCb)
+    val spreadQuantErrT = Similarity.pqQuantErr(spreadCorpus, "vec_id", "embedding", spreadCbT)
+    def spreadRecallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "match_id")
+        .intersect(spreadExact.select("query_id", "match_id")).count().toDouble / nSpreadExact
+    val spreadAdcRecall = spreadRecallOf(spreadAdcU)
+    val spreadAdcTrainedRecall = spreadRecallOf(spreadAdcT)
 
     // --- SemDeDup semantic prune over the SAME index artifacts (seeds +
     // inverted lists): within-cluster anti join keeps one representative per
@@ -353,6 +443,10 @@ object ScaleAnn {
         .intersect(exact.select("query_id", "match_id")).count().toDouble / nExact
     val lshRecall = recallOf(lsh)
     val lshMpRecall = recallOf(lshMp)
+    // (sec, recall, mp_sec, mp_recall) per swept plane count
+    val lshSweepResults: Seq[(Int, (Double, Double, Double, Double))] =
+      lshSweep.map(pt => pt.planes ->
+        ((pt.sec, recallOf(pt.df), pt.mpSec, recallOf(pt.mpDf))))
     val pqAdcRecall = recallOf(pqAdc)
     val pqAdcTrainedRecall = recallOf(pqAdcT)
     val pqRerankRecall = recallOf(pqRr)
@@ -372,6 +466,14 @@ object ScaleAnn {
       s""""pq_quant_err":$pqQuantErr,"pq_quant_err_trained":$pqQuantErrTrained,""" +
       s""""lsh_planes":$lshNPlanes,"lsh_sec":$lshSec,"lsh_recall":$lshRecall,""" +
       s""""lsh_mp_sec":$lshMpSec,"lsh_mp_recall":$lshMpRecall,""" +
+      s""""lsh_sweep":{""" + lshSweepResults.map { case (p, r) =>
+        s""""$p":{"sec":${r._1},"recall":${r._2},"mp_sec":${r._3},"mp_recall":${r._4}}"""
+      }.mkString(",") + "}," +
+      s""""spread_gen_sec":$spreadGenSec,"spread_brute_sec":$spreadBruteSec,""" +
+      s""""spread_pq_train_sec":$spreadTrainSec,""" +
+      s""""spread_adc_sec":$spreadAdcSec,"spread_adc_trained_sec":$spreadAdcTSec,""" +
+      s""""spread_adc_recall":$spreadAdcRecall,"spread_adc_trained_recall":$spreadAdcTrainedRecall,""" +
+      s""""spread_quant_err":$spreadQuantErr,"spread_quant_err_trained":$spreadQuantErrT,""" +
       s""""pq_ivf_encode_sec":$pqIvfEncodeSec,"pq_ivf8_sec":$pqIvf8Sec,""" +
       s""""pq_ivf8_recall":$pqIvf8Recall,""" +
       s""""semdedup_tau":$semTau,"semdedup_sec":$semSec,"semdedup_kept":$semKept,""" +

@@ -78,6 +78,16 @@ object ErQueries {
     Gazetteer.matchTables(mBlocks, cBlocks, messyF, canonF, "node_id", m2cFields, threshold)
   }
 
+  /** The JSON a user exports from a trained dedupe model (one line of
+    * Python: weights/bias off `deduper.classifier`, kinds off the data
+    * model). threshold 0.5 ⇒ margin cut logit(0.5) = 0 exactly. */
+  private val importedModelJson =
+    """{"bias": -1.25, "threshold": 0.5,
+      | "fields": [
+      |  {"name": "full_name",  "kind": "string_dist", "weight": 2.0},
+      |  {"name": "first_token", "kind": "exact", "weight": 0.75},
+      |  {"name": "last_token",  "kind": "exact", "weight": 0.75}]}""".stripMargin
+
   // --- shared pipeline stages (DuckDB oracle side; mirrors the Spark stages) ---
 
   private val sqlMessy = "SELECT p_name AS name, min(p_partkey) AS node_id FROM part GROUP BY p_name"
@@ -167,6 +177,18 @@ object ErQueries {
     // E4: pair scoring (levenshtein + exact fields, weighted mean, threshold 0.5)
     "q_er_scoring" -> ((s, dir) => scoredPairs(s, dir, threshold = 0.5)),
 
+    // E9 (open-format half): a learned dedupe classifier imported from its
+    // JSON export (weights + bias + threshold + comparator kinds) drives the
+    // same block->pair->score pipeline; score = the linear margin (exact
+    // fixed-order IEEE, see DedupeModel), cut = logit(threshold)
+    "q_er_model_import" -> ((s, dir) => {
+      val model = graft.er.DedupeModel.fromJson(importedModelJson)
+      val feats = messyFeatures(s, dir)
+      val pairs = Pairing.candidatePairs(messyBlocks(s, dir))
+      model.selectPairs(
+        Pairing.withFeatures(pairs, feats, "node_id", model.fields.map(_.name)))
+    }),
+
     // E4 with dedupe's real comparator (the native codegen'd affine-gap
     // expression) is covered spec-only: the DP kernel is not expressible in
     // DuckDB SQL, so an oracle row would be permanently unverifiable.
@@ -224,6 +246,24 @@ object ErQueries {
          |$sqlPairs""".stripMargin,
 
     "q_er_scoring" -> s"${sqlErPrefix("0.5")}\nSELECT * FROM scored",
+
+    // the imported model's linear margin, same term order as DedupeModel
+    // (((sim1*w1 + sim2*w2) + sim3*w3) + bias), cut = logit(0.5) = 0
+    "q_er_model_import" ->
+      s"""WITH feat AS ($sqlFeat),
+         |blocks AS ($sqlBlocks),
+         |pairs AS ($sqlPairs)
+         |SELECT a_node_id AS "from", b_node_id AS "to", score FROM (
+         |  SELECT p.east AS a_node_id, p.west AS b_node_id,
+         |    (1.0 - CAST(levenshtein(a.full_name, b.full_name) AS DOUBLE)
+         |      / CAST(greatest(length(a.full_name), length(b.full_name)) AS DOUBLE)) * 2.0
+         |      + CAST(a.first_token = b.first_token AS DOUBLE) * 0.75
+         |      + CAST(a.last_token = b.last_token AS DOUBLE) * 0.75
+         |      + -1.25 AS score
+         |  FROM pairs p
+         |  JOIN feat a ON p.east = a.node_id
+         |  JOIN feat b ON p.west = b.node_id) s
+         |WHERE score > 0.0""".stripMargin,
 
     "q_er_components" ->
       s"""${sqlErPrefix("0.6")},

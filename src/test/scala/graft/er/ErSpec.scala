@@ -105,6 +105,40 @@ class ErSpec extends AnyFunSuite {
       Set(Seq(1L, "a"), Seq(200L, "b"), Seq(3L, "c")))
   }
 
+  test("DedupeModel.fromJson parses the exported classifier; margin selection matches Scoring") {
+    val json =
+      """{"bias": -1.0, "threshold": 0.5,
+        | "fields": [
+        |  {"name": "nm", "kind": "string_dist", "weight": 1.5},
+        |  {"name": "tk", "kind": "exact", "weight": 0.5}]}""".stripMargin
+    val m = DedupeModel.fromJson(json)
+    assert(m.bias === -1.0 && m.threshold === 0.5)
+    assert(m.fields === Seq(
+      DedupeField("nm", DedupeField.StringDist, 1.5),
+      DedupeField("tk", DedupeField.Exact, 0.5)))
+    assert(m.marginCut === 0.0) // logit(0.5) exactly
+    // margin selection over an entity map: identical pair clears the cut
+    // (1.5 + 0.5 - 1.0 = 1.0 > 0); a dissimilar pair does not
+    val em = Seq(
+      (1L, 2L, "alpha", "alpha", "a", "a"),
+      (1L, 3L, "alpha", "zzzzz", "a", "z")
+    ).toDF("a_node_id", "b_node_id", "a_nm", "b_nm", "a_tk", "b_tk")
+    val out = m.selectPairs(em).select("from", "to").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("DedupeModel.fromJson fails loudly on malformed documents") {
+    def bad(j: String): Unit = { intercept[IllegalArgumentException](DedupeModel.fromJson(j)); () }
+    bad("""{"threshold": 0.5, "fields": [{"name":"x","kind":"exact","weight":1}]}""") // no bias
+    bad("""{"bias": 0, "threshold": 0.5, "fields": []}""") // empty fields
+    bad("""{"bias": 0, "threshold": 0.5, "fields": [{"name":"x","kind":"woble","weight":1}]}""") // bad kind
+    bad("""{"bias": 0, "threshold": 0.5, "fields": [{"name":"x","kind":"exact"}]}""") // no weight
+    bad("""[1,2,3]""") // not an object
+    intercept[IllegalArgumentException](
+      DedupeModel.fromJson("""{"bias":0,"threshold":1.5,"fields":[{"name":"x","kind":"exact","weight":1}]}"""))
+    ()
+  }
+
   test("Mappings.combine unions renamed mappings; unmapped anti-joins (main.py:161-244)") {
     val m2c = Seq((1L, 11L)).toDF("messy_id", "canon_id")
     val m2cl = Seq((2L, 22L)).toDF("messy_id", "cluster_id")

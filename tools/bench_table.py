@@ -17,16 +17,23 @@ def main():
     b = json.load(open(path))
     ratios = b.get("ratios", {})  # name -> [spark, oracle, ratio]
     queries = b.get("queries", {})  # name -> [spark, load]
+    jobs = b.get("jobs", {})  # name -> [n_jobs, n_stages]
+
+    def njobs(name):
+        return str(jobs[name][0]) if name in jobs else "—"
 
     rows = sorted(((v[0], k) for k, v in queries.items() if v[0] >= 0),
                   reverse=True)[:n]
-    out = ["| query | spark s | oracle s | ratio |", "|---|---|---|---|"]
+    # the jobs column is the floor attribution: a >10x ratio over a
+    # sub-second query with a two-digit job count is per-job scheduling
+    # floor, self-evident without re-reading the plan
+    out = ["| query | spark s | oracle s | ratio | jobs |", "|---|---|---|---|---|"]
     for sec, name in rows:
         if name in ratios:
             s, o, r = ratios[name]
-            out.append(f"| `{name}` | {s:.2f} | {o:.2f} | {r:.2f} |")
+            out.append(f"| `{name}` | {s:.2f} | {o:.2f} | {r:.2f} | {njobs(name)} |")
         else:
-            out.append(f"| `{name}` | {sec:.2f} | — | — |")
+            out.append(f"| `{name}` | {sec:.2f} | — | — | {njobs(name)} |")
     print("\n".join(out))
     print()
     print(f"Suite: spark {b.get('spark_total_sec')}s vs oracle "
@@ -39,7 +46,7 @@ def main():
                     if v[1] >= 0.05 and v[0] >= 0.25),
                    key=lambda kv: -kv[1][2])[:n]
     print("Worst per-query ratios (oracle >= 50ms, spark >= 250ms): "
-          + ", ".join(f"`{k}` {v[2]:.2f}" for k, v in worst))
+          + ", ".join(f"`{k}` {v[2]:.2f} ({njobs(k)} jobs)" for k, v in worst))
 
 
 if __name__ == "__main__":

@@ -178,6 +178,23 @@ def table(merged):
              f"(recall {a['lsh_recall']:.2f} / {a['lsh_mp_recall']:.2f})",
              f"{max(a['stragglers']['lsh'], a['stragglers']['lsh_multiprobe']):.2f}"),
         ]
+    if "lsh_sweep" in a:
+        curve = "; ".join(
+            f"{p}p: {v['recall']:.2f}/{v['mp_recall']:.2f}"
+            for p, v in sorted(a["lsh_sweep"].items(), key=lambda kv: int(kv[0])))
+        rows += [
+            ("Sign-LSH recall curve (probe-1 / multi-probe)",
+             "plane sweep, same batch", curve, "-"),
+        ]
+    if "spread_adc_recall" in a:
+        rows += [
+            ("PQ trained-vs-untrained ADC on the SPREAD corpus",
+             f"{a['vectors']:,} unique chord points (no sibling ties)",
+             f"recall {a['spread_adc_recall']:.3f} -> "
+             f"{a['spread_adc_trained_recall']:.3f} trained; quant err "
+             f"{a['spread_quant_err']:.0f} -> {a['spread_quant_err_trained']:.0f}",
+             "-"),
+        ]
     if "pq_train_sec" in a:
         rows += [
             ("PQ codebook training (per-subspace Lloyd) + trained ADC",
@@ -288,6 +305,33 @@ def table(merged):
     return "\n".join(out)
 
 
+def merge_flagship_points(keep, other):
+    """Per-point min for the flagship linearity curve: the record's points
+    are INDEPENDENT measurements of deterministic workloads (graph_rows agree
+    run-to-run), so each x-point gets the same min-of-K estimator the
+    record-level rule applies to whole harnesses. Without this, one loaded
+    point poisons an otherwise-clean record forever: run A can be clean at
+    x400 while run B is clean at x250 — the curve's true shape is the
+    pointwise min. `keep` is the surviving record (its stage_secs/loads
+    describe its own last point and stay untouched); `other` contributes
+    only per-point wall times, and only where row counts prove the same
+    workload."""
+    if keep.get("metric") != "scale_flagship" or "points" not in other:
+        return
+    by_copies = {p["copies"]: p for p in other.get("points", [])}
+    for p in keep.get("points", []):
+        o = by_copies.get(p["copies"])
+        if o and o.get("graph_rows") == p.get("graph_rows") \
+                and o["total_sec"] < p["total_sec"]:
+            print(f"[scale] flagship x{p['copies']}: folding in cleaner point "
+                  f"({o['total_sec']:.1f}s < {p['total_sec']:.1f}s)", file=sys.stderr)
+            p["total_sec"] = o["total_sec"]
+            p["result_sec"] = o["result_sec"]
+    # total_sec mirrors the last point
+    if keep.get("points"):
+        keep["total_sec"] = keep["points"][-1]["total_sec"]
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else "SCALE_r08.json"
@@ -297,13 +341,24 @@ def main():
             only = sys.argv[i + 1].split(",")
         elif a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
+    replay = None
+    for i, a in enumerate(sys.argv):
+        if a == "--replay" and i + 1 < len(sys.argv):
+            replay = sys.argv[i + 1].split(",")
+        elif a.startswith("--replay="):
+            replay = a.split("=", 1)[1].split(",")
     if "--table" in sys.argv:
         merged = json.load(open(out_path))
     else:
         harnesses = HARNESSES if only is None else [h for h in HARNESSES if h in only]
         keep_old = os.path.exists(out_path) and "--fresh" not in sys.argv
         merged = json.load(open(out_path)) if keep_old else {}
-        for rec in (run_best(m) for m in harnesses):
+        # --replay f.json[,g.json]: merge already-captured harness records
+        # (e.g. a clean run whose record lost the whole-record min but whose
+        # POINTS are partially cleaner) through the same rules as a live run
+        records = ([json.load(open(p)) for p in replay] if replay
+                   else (run_best(m) for m in harnesses))
+        for rec in records:
             k = rec["metric"]
             old = merged.get(k)
             # deterministic workloads: row counts agree run-to-run, only the
@@ -347,12 +402,15 @@ def main():
             elif covers and k in PRIMARY and PRIMARY[k](old) <= PRIMARY[k](rec):
                 print(f"[scale] keeping existing {k} record "
                       f"({PRIMARY[k](old):.1f}s <= {PRIMARY[k](rec):.1f}s)", file=sys.stderr)
+                merge_flagship_points(old, rec)
             else:
                 if old is not None and not same:
                     print(f"[scale] WARNING: {k} workload changed "
                           f"{workload(old)} -> {workload(rec)}; replacing the old "
                           f"record (set SCALE_* envs to match if unintended)",
                           file=sys.stderr)
+                if old is not None and same:
+                    merge_flagship_points(rec, old)
                 merged[k] = rec
         with open(out_path, "w") as f:
             json.dump(merged, f, indent=1)
