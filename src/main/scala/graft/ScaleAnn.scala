@@ -175,12 +175,17 @@ object ScaleAnn {
       s
     }
 
-    // index build: one narrow corpus pass, materialized like any index artifact
-    val (lists, buildSec, buildStraggler, loadBuild) = bestOf("build") {
+    // index build: one narrow corpus pass, materialized like any index
+    // artifact. Write-then-read phases return UNIT from bestOf and read the
+    // dataset fresh afterwards: a DataFrame created inside a losing sample
+    // captures that sample's file listing, which the winning (or later)
+    // sample's overwrite replaces — deferred reads then fail with
+    // FileNotFoundException on part files that no longer exist.
+    val (_, buildSec, buildStraggler, loadBuild) = bestOf("build") {
       Similarity.assignToLists(corpus, "vec_id", "embedding", seeds, "match_id")
         .write.mode("overwrite").parquet(s"$work/lists.parquet")
-      spark.read.parquet(s"$work/lists.parquet")
     }
+    val lists = spark.read.parquet(s"$work/lists.parquet")
     val sizes = lists.groupBy("list_id").count().select("count").collect().map(_.getLong(0))
     val listSkew = if (sizes.isEmpty) -1.0
       else sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
@@ -221,11 +226,11 @@ object ScaleAnn {
 
     val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding", pqM, pqCodes,
       Some(pqSeedWhere))
-    val (encTable, pqEncodeSec, pqEncodeStraggler, loadEnc) = bestOf("pq_encode") {
+    val (_, pqEncodeSec, pqEncodeStraggler, loadEnc) = bestOf("pq_encode") {
       Similarity.pqEncode(corpus, "vec_id", "embedding", cb, "match_id")
         .write.mode("overwrite").parquet(s"$work/pq.parquet")
-      spark.read.parquet(s"$work/pq.parquet")
     }
+    val encTable = spark.read.parquet(s"$work/pq.parquet")
     // on-disk compression: codes-only artifact vs the raw embedding table
     // (what an ADC-only scan reads vs what brute force reads)
     encTable.select("match_id", "codes")
@@ -273,11 +278,11 @@ object ScaleAnn {
       Similarity.pqCodebookTrained(corpus, "vec_id", "embedding", pqM, pqCodes,
         pqTrainIters, Some(pqSeedWhere))
     }
-    val (encT, pqEncodeTSec, pqEncodeTStraggler, loadEncT) = bestOf("pq_encode_trained") {
+    val (_, pqEncodeTSec, pqEncodeTStraggler, loadEncT) = bestOf("pq_encode_trained") {
       Similarity.pqEncode(corpus, "vec_id", "embedding", cbT, "match_id")
         .write.mode("overwrite").parquet(s"$work/pq_t.parquet")
-      spark.read.parquet(s"$work/pq_t.parquet")
     }
+    val encT = spark.read.parquet(s"$work/pq_t.parquet")
     val pqQuantErr = Similarity.pqQuantErr(corpus, "vec_id", "embedding", cb)
     val pqQuantErrTrained = Similarity.pqQuantErr(corpus, "vec_id", "embedding", cbT)
     val (pqAdcT, pqAdcTSec, pqAdcTStraggler, loadPqAdcT) = bestOf("pq_adc_trained") {
@@ -293,11 +298,11 @@ object ScaleAnn {
     // lost to brute force; list pruning restricts the ADC scan to each
     // query's probed lists). Index = ONE narrow pass reusing the IVF seeds
     // and the PQ codebook, materialized like the other index artifacts.
-    val (ivfPqEnc, pqIvfEncodeSec, pqIvfEncodeStraggler, loadIvfPqEnc) = bestOf("pq_ivf_encode") {
+    val (_, pqIvfEncodeSec, pqIvfEncodeStraggler, loadIvfPqEnc) = bestOf("pq_ivf_encode") {
       Similarity.ivfPqEncode(corpus, "vec_id", "embedding", seeds, cb, "match_id")
         .write.mode("overwrite").parquet(s"$work/ivfpq.parquet")
-      spark.read.parquet(s"$work/ivfpq.parquet")
     }
+    val ivfPqEnc = spark.read.parquet(s"$work/ivfpq.parquet")
     val (pqIvf8, pqIvf8Sec, pqIvf8Straggler, loadPqIvf8) = bestOf("pq_ivf8") {
       val out = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
         nLists = nLists, m = pqM, nCodes = pqCodes, k = k, nProbe = 8,
@@ -357,7 +362,7 @@ object ScaleAnn {
     // strided seeding. The artifact then reports trained vs untrained
     // flat-ADC recall AND quantization error side by side: if training
     // helps, it must show here or nowhere.
-    val (spreadCorpus, spreadGenSec, _, _) = bestOf("spread_gen") {
+    val (_, spreadGenSec, _, _) = bestOf("spread_gen") {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val nBase = base.count()
@@ -373,8 +378,8 @@ object ScaleAnn {
             .as("embedding"))
       pts.repartition(n, col("vec_id"))
         .write.mode("overwrite").parquet(s"$work/spread.parquet")
-      spark.read.parquet(s"$work/spread.parquet")
     }
+    val spreadCorpus = spark.read.parquet(s"$work/spread.parquet")
     val spreadQueries = spreadCorpus.filter(col("vec_id") < nQueries)
     val (spreadExact, spreadBruteSec, _, loadSpreadBrute) = bestOf("spread_brute") {
       val e = Similarity.bruteForceTopK(spreadCorpus, spreadQueries,
@@ -392,14 +397,14 @@ object ScaleAnn {
       Similarity.pqCodebookTrained(spreadCorpus, "vec_id", "embedding",
         pqM, pqCodes, pqTrainIters, Some(spreadSeedWhere))
     }
-    def spreadAdc(cbX: Array[Array[Array[Long]]], path: String, tag: String)
+    def spreadAdc(cbX: Array[Array[Array[Long]]], codes: Int, path: String, tag: String)
         : (org.apache.spark.sql.DataFrame, Double, Double, Double) = {
       val enc = Similarity.pqEncode(spreadCorpus, "vec_id", "embedding", cbX, "match_id")
       enc.write.mode("overwrite").parquet(path)
       val encRead = spark.read.parquet(path)
       bestOf(tag) {
         val out = Similarity.pqTopK(spreadCorpus, spreadQueries, "vec_id", "embedding",
-          m = pqM, nCodes = pqCodes, k = k, rerank = 0,
+          m = pqM, nCodes = codes, k = k, rerank = 0,
           codebook = Some(cbX), encTable = Some(encRead))
           .localCheckpoint(true)
         out.count()
@@ -407,16 +412,38 @@ object ScaleAnn {
       }
     }
     val (spreadAdcU, spreadAdcSec, _, loadSpreadAdc) =
-      spreadAdc(spreadCb, s"$work/spread_pq.parquet", "spread_adc")
+      spreadAdc(spreadCb, pqCodes, s"$work/spread_pq.parquet", "spread_adc")
     val (spreadAdcT, spreadAdcTSec, _, loadSpreadAdcT) =
-      spreadAdc(spreadCbT, s"$work/spread_pq_t.parquet", "spread_adc_trained")
+      spreadAdc(spreadCbT, pqCodes, s"$work/spread_pq_t.parquet", "spread_adc_trained")
     val spreadQuantErr = Similarity.pqQuantErr(spreadCorpus, "vec_id", "embedding", spreadCb)
     val spreadQuantErrT = Similarity.pqQuantErr(spreadCorpus, "vec_id", "embedding", spreadCbT)
+    // the knob that is SUPPOSED to move flat-ADC recall on a dense corpus is
+    // codebook CAPACITY (finer cells → per-subspace distortion below the
+    // neighbor gaps), not Lloyd polish of a too-coarse codebook — measure
+    // 4× the codes (256) trained and untrained on the same spread corpus so
+    // the negative result above has its positive control next to it
+    val spreadCodes2 = sys.env.getOrElse("SCALE_SPREAD_CODES2", "256").toInt
+    val s2Stride = math.max(1L, nVecs / spreadCodes2)
+    val s2Where = col("vec_id") % s2Stride === 0 && col("vec_id") < s2Stride * spreadCodes2
+    val spreadCb2 = Similarity.pqCodebook(spreadCorpus, "vec_id", "embedding",
+      pqM, spreadCodes2, Some(s2Where))
+    val (spreadCb2T, spreadTrain2Sec, _, _) = bestOf("spread_pq_train256") {
+      Similarity.pqCodebookTrained(spreadCorpus, "vec_id", "embedding",
+        pqM, spreadCodes2, pqTrainIters, Some(s2Where))
+    }
+    val (spreadAdc2U, spreadAdc2Sec, _, _) =
+      spreadAdc(spreadCb2, spreadCodes2, s"$work/spread_pq256.parquet", "spread_adc256")
+    val (spreadAdc2T, spreadAdc2TSec, _, _) =
+      spreadAdc(spreadCb2T, spreadCodes2, s"$work/spread_pq256_t.parquet", "spread_adc256_trained")
+    val spreadQuantErr2 = Similarity.pqQuantErr(spreadCorpus, "vec_id", "embedding", spreadCb2)
+    val spreadQuantErr2T = Similarity.pqQuantErr(spreadCorpus, "vec_id", "embedding", spreadCb2T)
     def spreadRecallOf(df: org.apache.spark.sql.DataFrame): Double =
       df.select("query_id", "match_id")
         .intersect(spreadExact.select("query_id", "match_id")).count().toDouble / nSpreadExact
     val spreadAdcRecall = spreadRecallOf(spreadAdcU)
     val spreadAdcTrainedRecall = spreadRecallOf(spreadAdcT)
+    val spreadAdc2Recall = spreadRecallOf(spreadAdc2U)
+    val spreadAdc2TrainedRecall = spreadRecallOf(spreadAdc2T)
 
     // --- SemDeDup semantic prune over the SAME index artifacts (seeds +
     // inverted lists): within-cluster anti join keeps one representative per
@@ -474,6 +501,10 @@ object ScaleAnn {
       s""""spread_adc_sec":$spreadAdcSec,"spread_adc_trained_sec":$spreadAdcTSec,""" +
       s""""spread_adc_recall":$spreadAdcRecall,"spread_adc_trained_recall":$spreadAdcTrainedRecall,""" +
       s""""spread_quant_err":$spreadQuantErr,"spread_quant_err_trained":$spreadQuantErrT,""" +
+      s""""spread_codes2":$spreadCodes2,"spread_pq_train256_sec":$spreadTrain2Sec,""" +
+      s""""spread_adc256_sec":$spreadAdc2Sec,"spread_adc256_trained_sec":$spreadAdc2TSec,""" +
+      s""""spread_adc256_recall":$spreadAdc2Recall,"spread_adc256_trained_recall":$spreadAdc2TrainedRecall,""" +
+      s""""spread_quant_err256":$spreadQuantErr2,"spread_quant_err256_trained":$spreadQuantErr2T,""" +
       s""""pq_ivf_encode_sec":$pqIvfEncodeSec,"pq_ivf8_sec":$pqIvf8Sec,""" +
       s""""pq_ivf8_recall":$pqIvf8Recall,""" +
       s""""semdedup_tau":$semTau,"semdedup_sec":$semSec,"semdedup_kept":$semKept,""" +

@@ -249,6 +249,18 @@ object LlmQueries {
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** The imported text-classifier model (q_text_classifier): 64 hash
+    * buckets with deterministic mixed-sign milliweights, bias −400,
+    * keep-threshold 0 — a stand-in for any trainer's JSON export (see
+    * [[graft.llm.LinearTextModel]]). Both engines consume the SAME weight
+    * list: Spark through fromJson, the oracle as an inline SQL list
+    * literal, generated from one Seq so they cannot drift. */
+  private val tcDim = 64
+  private val tcWeights: Seq[Long] = (0 until tcDim).map(i => (((i * 37) % 211) - 105).toLong)
+  private val tcModelJson =
+    s"""{"dim": $tcDim, "bias_milli": -400, "threshold_milli": 0,
+       | "weights_milli": [${tcWeights.mkString(", ")}]}""".stripMargin
+
   // ---- queries ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -558,6 +570,14 @@ object LlmQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // imported hashed-BoW linear classifier (fastText/CCNet quality-gate
+    // shape): the JSON-exported model applied as one codegen'd expression,
+    // integer-exact (md5-bucket hash, milliunit weights, BIGINT sum)
+    "q_text_classifier" -> ((s, dir) => {
+      val model = graft.llm.LinearTextModel.fromJson(tcModelJson)
+      graft.llm.TextClassifier.classify(t(s, dir, "documents"), "text", "doc_id", model)
+    }),
 
     // language-ID heuristic (stopword-profile argmax)
     "q_text_langid" -> ((s, dir) =>
@@ -1232,6 +1252,19 @@ object LlmQueries {
          |  + least(CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS DOUBLE)
          |          / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0) * 0.25 AS quality
          |FROM documents""".stripMargin,
+
+    // same md5-nibble bucket, same milliweight list (one shared Seq), same
+    // exact BIGINT sum — term order is irrelevant for integers
+    "q_text_classifier" -> {
+      def nib(i: Int) =
+        s"(ascii(substr(md5(t), $i, 1)) - 48 - CASE WHEN ascii(substr(md5(t), $i, 1)) >= 97 THEN 39 ELSE 0 END)"
+      val bucket = s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % $tcDim)"
+      s"""SELECT doc_id, score_milli, score_milli >= 0 AS keep FROM (
+         |  SELECT doc_id,
+         |    CAST(-400 + list_sum(list_transform(string_split(text, ' '),
+         |      t -> [${tcWeights.mkString(", ")}][$bucket + 1])) AS BIGINT) AS score_milli
+         |  FROM documents) d""".stripMargin
+    },
 
     "q_text_langid" -> {
       val profiles = sqlLangProfiles("documents")

@@ -424,6 +424,42 @@ class LlmSpec extends AnyFunSuite {
     assert(kept === Set(0L, 1L, 3L))
   }
 
+  test("TextClassifier: score equals an independent JVM md5 recomputation; keep thresholds exactly") {
+    val dim = 16
+    val weights: Seq[Long] = (0 until dim).map(i => (i * 13 - 90).toLong)
+    val model = LinearTextModel(dim, weights.toArray, biasMilli = -5L, thresholdMilli = 0L)
+    // independent recomputation: java MessageDigest, not Spark's md5
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16) % dim
+    }
+    def expected(text: String): Long =
+      -5L + text.split(" ", -1).map(t => weights(bucket(t))).sum
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "zzz"), (3L, "beta  beta")).toDF("doc_id", "text")
+    val out = TextClassifier.classify(docs, "text", "doc_id", model)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((id, text) <- Seq(1L -> "alpha beta alpha", 2L -> "zzz", 3L -> "beta  beta")) {
+      val e = expected(text)
+      assert(out(id) === ((e, e >= 0L)), s"doc $id")
+    }
+    // repeated tokens count per occurrence: doc 1 scores alpha twice
+    assert(out(1L)._1 === -5L + 2 * weights(bucket("alpha")) + weights(bucket("beta")))
+  }
+
+  test("LinearTextModel.fromJson round-trips and fails loudly on malformed documents") {
+    val m = LinearTextModel.fromJson(
+      """{"dim": 4, "bias_milli": -7, "threshold_milli": 3, "weights_milli": [1, -2, 3, -4]}""")
+    assert(m === LinearTextModel(4, Array(1L, -2L, 3L, -4L), -7L, 3L) ||
+      (m.dim === 4 && m.weightsMilli.toSeq === Seq(1L, -2L, 3L, -4L) &&
+        m.biasMilli === -7L && m.thresholdMilli === 3L))
+    def bad(j: String): Unit = { intercept[IllegalArgumentException](LinearTextModel.fromJson(j)); () }
+    bad("""{"dim": 4, "bias_milli": 0, "threshold_milli": 0, "weights_milli": [1, 2]}""") // wrong len
+    bad("""{"dim": 4, "threshold_milli": 0, "weights_milli": [1, 2, 3, 4]}""") // missing bias
+    bad("""{"dim": 4, "bias_milli": 0.5, "threshold_milli": 0, "weights_milli": [1, 2, 3, 4]}""") // non-integer
+    bad("""[]""")
+  }
+
   test("docFrequencyScore: exact df mass over distinct tokens, repeated tokens counted once") {
     val docs = Seq(
       (1L, "the cat sat"),          // the:3 cat:2 sat:1 -> sum 6, n 3

@@ -195,6 +195,15 @@ def table(merged):
              f"{a['spread_quant_err']:.0f} -> {a['spread_quant_err_trained']:.0f}",
              "-"),
         ]
+    if "spread_adc256_recall" in a:
+        rows += [
+            (f"PQ capacity control: {a.get('spread_codes2', 256)}-code ADC on the SPREAD corpus",
+             "same corpus, 4x codebook capacity",
+             f"recall {a['spread_adc256_recall']:.3f} untrained / "
+             f"{a['spread_adc256_trained_recall']:.3f} trained; quant err "
+             f"{a['spread_quant_err256']:.0f} -> {a['spread_quant_err256_trained']:.0f}",
+             "-"),
+        ]
     if "pq_train_sec" in a:
         rows += [
             ("PQ codebook training (per-subspace Lloyd) + trained ADC",
