@@ -114,6 +114,35 @@ class ObjectStoreFsSpec extends AnyFunSuite {
     assert(!cat.existsCache("d"))
   }
 
+  test("a full EtlGroup DAG (SQL + DfNode + inDb intermediates + snapshot) runs on the object store") {
+    // the whole engine surface over a store with object-store rename
+    // semantics: linked external input, concurrent DAG execution, lazy
+    // in-db hand-offs, durable group outputs, incremental-cache snapshot
+    val cat = freshObjCat()
+    val extBase = Files.createTempDirectory("graft_objstore_dag").toString
+    Seq((1, "a"), (2, "b"), (3, "a")).toDF("k", "tag")
+      .write.parquet(s"graftobj:$extBase/src.parquet")
+    cat.link("src", s"graftobj:$extBase/src.parquet")
+    val g = new EtlGroup("g_obj", Seq(
+      new SqlNode("n1", Seq("src"), Map("mid_obj" -> "SELECT k, tag FROM src WHERE k > 1")),
+      new DfNode("n2", Seq("mid_obj"), Seq("mid2_obj"),
+        fn = { case Seq(m) => Seq(m.filter(org.apache.spark.sql.functions.col("tag") === "a")) }),
+      new SqlNode("n3", Seq("mid2_obj"), Map("fin_obj" -> "SELECT k FROM mid2_obj"))))
+    g.execute(cat, maxActiveRun = 2, inDbIntermediates = true)
+    assert(TestSpark.rows(cat.read("fin_obj")) === Set(Seq(3)))
+    // intermediates never touched the store; the output is durable on it
+    assert(!new java.io.File(localDir(cat), "mid_obj.parquet").exists())
+    assert(new java.io.File(localDir(cat), "fin_obj.parquet").exists())
+    // snapshot the group output through the pointer protocol, rename-free
+    NonAtomicTestFs.renames.set(0)
+    cat.snapshot("fin_obj")
+    assert(NonAtomicTestFs.renames.get() === 0)
+    assert(TestSpark.rows(cat.loadCache("fin_obj")) === Set(Seq(3)))
+    // overwrite the live output; the snapshot serves the old rows
+    cat.write(Seq(99).toDF("k"), "fin_obj")
+    assert(TestSpark.rows(cat.loadCache("fin_obj")) === Set(Seq(3)))
+  }
+
   test("in-session (InDb) snapshot follows the same rename-free pointer discipline") {
     val cat = freshObjCat()
     cat.registerTable(Seq((1, "m")).toDF("k", "s"), "mem")
