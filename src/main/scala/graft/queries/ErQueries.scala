@@ -199,7 +199,12 @@ object ErQueries {
     "q_er_components" -> ((s, dir) =>
       ConnectedComponents.clusterMapping(scoredPairs(s, dir, threshold = 0.6).select("from", "to"))),
 
-    // E6: gazetteer matching messy->canon (threshold 0.25, top-1 per messy)
+    // E6: gazetteer matching messy->canon (threshold 0.25, top-1 per messy).
+    // Measured A/B (r17): the StaticScope treatment that helped
+    // q_graph_grouping/q_dedup_ngram HURTS here — 2.2s/6 jobs static vs
+    // 1.6s/13 jobs adaptive — because this plan's cost is the two block
+    // joins, which AQE converts to broadcasts at runtime and the static
+    // planner (agg-output sizes unknown) sort-merges. Left adaptive.
     "q_er_gazetteer" -> ((s, dir) => gazetteerMatches(s, dir, threshold = 0.25)),
 
     // E7 / P2: id rewrite through mapping with COALESCE fallback + star-except
