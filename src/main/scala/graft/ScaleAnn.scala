@@ -322,11 +322,12 @@ object ScaleAnn {
     // and lower recall; the artifact carries the whole tradeoff curve so the
     // recommended default (multi-probe) sits next to its alternatives.
     val lshNPlanes = sys.env.getOrElse("SCALE_LSH_PLANES", "12").toInt
-    val lshSweepPlanes = sys.env.getOrElse("SCALE_LSH_SWEEP", "8,12,16")
-      .split(",").map(_.trim.toInt).toSeq
+    // the headline plane count is always MEASURED: if it is missing from the
+    // sweep list it is added, never silently substituted by another point
+    val lshSweepPlanes = (sys.env.getOrElse("SCALE_LSH_SWEEP", "8,12,16")
+      .split(",").map(_.trim.toInt).toSeq :+ lshNPlanes).distinct.sorted
     case class LshPoint(planes: Int, sec: Double, straggler: Double, load: Double,
                         mpSec: Double, mpStraggler: Double, mpLoad: Double,
-                        recall: Double, mpRecall: Double,
                         df: org.apache.spark.sql.DataFrame,
                         mpDf: org.apache.spark.sql.DataFrame)
     val lshSweep = lshSweepPlanes.map { p =>
@@ -343,11 +344,11 @@ object ScaleAnn {
         out.count()
         out
       }
-      LshPoint(p, sec, st, load, mpSec, mpSt, mpLoad, -1.0, -1.0, df, mpDf)
+      LshPoint(p, sec, st, load, mpSec, mpSt, mpLoad, df, mpDf)
     }
-    val at12 = lshSweep.find(_.planes == lshNPlanes).getOrElse(lshSweep.head)
-    val (lsh, lshSec, lshStraggler, loadLsh) = (at12.df, at12.sec, at12.straggler, at12.load)
-    val (lshMp, lshMpSec, lshMpStraggler, loadLshMp) = (at12.mpDf, at12.mpSec, at12.mpStraggler, at12.mpLoad)
+    val atHeadline = lshSweep.find(_.planes == lshNPlanes).get // present by construction
+    val (lshSec, lshStraggler, loadLsh) = (atHeadline.sec, atHeadline.straggler, atHeadline.load)
+    val (lshMpSec, lshMpStraggler, loadLshMp) = (atHeadline.mpSec, atHeadline.mpStraggler, atHeadline.mpLoad)
 
     // --- SPREAD corpus: the falsification experiment the r16 verdict asked
     // for (What's wrong #1/#2). On the replicated corpus above, flat-ADC
@@ -468,12 +469,15 @@ object ScaleAnn {
     def recallOf(df: org.apache.spark.sql.DataFrame): Double =
       df.select("query_id", "match_id")
         .intersect(exact.select("query_id", "match_id")).count().toDouble / nExact
-    val lshRecall = recallOf(lsh)
-    val lshMpRecall = recallOf(lshMp)
-    // (sec, recall, mp_sec, mp_recall) per swept plane count
+    // (sec, recall, mp_sec, mp_recall) per swept plane count; the headline
+    // lsh_recall/lsh_mp_recall reuse the sweep's values (same DataFrames —
+    // recomputing would just re-run the intersect jobs)
     val lshSweepResults: Seq[(Int, (Double, Double, Double, Double))] =
       lshSweep.map(pt => pt.planes ->
         ((pt.sec, recallOf(pt.df), pt.mpSec, recallOf(pt.mpDf))))
+    val headlineLsh = lshSweepResults.find(_._1 == lshNPlanes).get._2
+    val lshRecall = headlineLsh._2
+    val lshMpRecall = headlineLsh._4
     val pqAdcRecall = recallOf(pqAdc)
     val pqAdcTrainedRecall = recallOf(pqAdcT)
     val pqRerankRecall = recallOf(pqRr)

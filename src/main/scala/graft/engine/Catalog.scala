@@ -329,10 +329,17 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
 
   /** Delete a superseded snapshot pointer AND the version directory it
     * targets (retiring only the pointer would orphan a full snapshot copy),
-    * then GC every remaining version directory of the same id — pointer
-    * retirement is explicit destruction (drop / protocol switch), so no
-    * version may outlive it. */
-  private def retirePointer(f: FileSystem, ptr: Path): Unit = {
+    * then GC every remaining version directory of the same id.
+    *
+    * `graceMs` follows the call site's intent: [[drop]] is explicit
+    * destruction of the id (grace 0 — no version may outlive it), but the
+    * legacy-pointer cleanup on [[snapshot]]'s rename path keeps the normal
+    * grace window — during a protocol migration (a stale
+    * `graft.fs.atomicRename` override, a rolling config change) a CONCURRENT
+    * pointer-mode snapshot may still be materializing into a fresh version
+    * directory, and deleting that mid-write would let its later PUT publish
+    * a dangling target. */
+  private def retirePointer(f: FileSystem, ptr: Path, graceMs: Long = 0L): Unit = {
     val cid = ptr.getName.stripSuffix(".ptr")
     if (f.exists(ptr)) {
       val in = f.open(ptr)
@@ -341,7 +348,7 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
       if (f.exists(ver)) f.delete(ver, true)
       f.delete(ptr, false)
     }
-    gcVersions(f, cid, keep = None, graceMs = 0L)
+    gcVersions(f, cid, keep = None, graceMs = graceMs)
     ()
   }
 
@@ -417,7 +424,9 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
       materialize(tmp)
       if (cf.exists(dst)) cf.delete(dst, true)
       cf.rename(tmp, dst)
-      retirePointer(cf, cachePtr(id)) // legacy pointer-mode snapshot, if any
+      // legacy pointer-mode snapshot, if any; normal grace — a concurrent
+      // pointer-mode snapshot (protocol migration window) may be mid-write
+      retirePointer(cf, cachePtr(id), graceMs = snapshotGcGraceMs)
     } else {
       val prev = if (cf.exists(cachePtr(id))) Some(cachePath(id)) else None
       val ver = new Path(s"$baseDir/.$cid.v${System.currentTimeMillis()}_${System.nanoTime()}")

@@ -18,11 +18,23 @@ object Tables {
 
   private val schemas = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** Memo key fingerprints the dataset's current state (same defense as
+    * LlmQueries' AnnIndex key): a table regenerated in-JVM with a changed
+    * schema must MISS — serving the old schema to spark.read.schema would
+    * silently return NULL for the renamed columns, not an error. For the
+    * read-only testdata the stat costs ~nothing and the key never changes. */
+  private def key(path: String): String = {
+    val d = new java.io.File(path.stripPrefix("file:"))
+    val parts = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+    s"$path@${d.lastModified()}#${parts.length}:${parts.map(_.length()).sum}"
+  }
+
   /** Read `dir/name.parquet` with the memoized schema (inferring and
     * memoizing on first touch). */
   def read(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val sch = schemas.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    val sch = schemas.computeIfAbsent(key(path), _ => s.read.parquet(path).schema)
     s.read.schema(sch).parquet(path)
   }
 

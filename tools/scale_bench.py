@@ -321,24 +321,25 @@ def merge_flagship_points(keep, other):
     record-level rule applies to whole harnesses. Without this, one loaded
     point poisons an otherwise-clean record forever: run A can be clean at
     x400 while run B is clean at x250 — the curve's true shape is the
-    pointwise min. `keep` is the surviving record (its stage_secs/loads
-    describe its own last point and stay untouched); `other` contributes
-    only per-point wall times, and only where row counts prove the same
-    workload."""
+    pointwise min. `keep` is the surviving record; `other` contributes only
+    per-point wall times, and only where row counts prove the same workload.
+    The LAST point is never folded: the record's total_sec, stage_secs, and
+    loads all describe that run's final point, and splicing a foreign total
+    under this run's stage breakdown would publish a row whose stages sum to
+    more than its total — the record-level min already arbitrates the last
+    point by choosing whole records."""
     if keep.get("metric") != "scale_flagship" or "points" not in other:
         return
     by_copies = {p["copies"]: p for p in other.get("points", [])}
-    for p in keep.get("points", []):
+    for p in keep.get("points", [])[:-1]:
         o = by_copies.get(p["copies"])
-        if o and o.get("graph_rows") == p.get("graph_rows") \
+        if o and "total_sec" in o and "result_sec" in o \
+                and o.get("graph_rows") == p.get("graph_rows") \
                 and o["total_sec"] < p["total_sec"]:
             print(f"[scale] flagship x{p['copies']}: folding in cleaner point "
                   f"({o['total_sec']:.1f}s < {p['total_sec']:.1f}s)", file=sys.stderr)
             p["total_sec"] = o["total_sec"]
             p["result_sec"] = o["result_sec"]
-    # total_sec mirrors the last point
-    if keep.get("points"):
-        keep["total_sec"] = keep["points"][-1]["total_sec"]
 
 
 def main():
