@@ -14,6 +14,7 @@ object Probe {
     if (args.headOption.contains("gtv")) { gtvProbe(); return }
     if (args.headOption.contains("stream")) { streamProbe(); return }
     if (args.headOption.contains("graph")) { graphProbe(args.drop(1).headOption.getOrElse("q_graph_triangles")); return }
+    if (args.headOption.contains("ccskew")) { ccSkewProbe(); return }
     val copies = sys.env.getOrElse("SCALE_COPIES", "20").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -58,6 +59,74 @@ object Probe {
     * session, warm-up pass, then a timed pass with a job listener recording
     * each job's duration and call site — so "N jobs × floor" claims are
     * measured, not inferred. */
+  /** Per-stage skew attribution for the distributed CC loop on the ScaleGraph
+    * power-law graph: which stage carries the max/median task-time straggler.
+    * SCALE_EDGES / SCALE_NODES size the graph (defaults match ScaleGraph). */
+  private def ccSkewProbe(): Unit = {
+    val edgesN = sys.env.getOrElse("SCALE_EDGES", "10000000").toLong
+    val nodesN = sys.env.getOrElse("SCALE_NODES", "2000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files.createTempDirectory("graft_ccskew")
+    TempCleanup.deleteOnExit(work)
+    spark.range(edgesN).select(
+        floor(pow(rand(7), 2.5) * nodesN).cast("long").as("src"),
+        floor(pow(rand(11), 2.5) * nodesN).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .write.mode("overwrite").parquet(s"$work/edges.parquet")
+    val edges = spark.read.parquet(s"$work/edges.parquet")
+
+    case class T(dur: Long, srRec: Long, swRec: Long, inRec: Long, gc: Long)
+    val tasks = new java.util.concurrent.ConcurrentLinkedQueue[(Int, T)]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        val t = if (m == null) T(te.taskInfo.duration, -1, -1, -1, -1)
+          else T(te.taskInfo.duration, m.shuffleReadMetrics.recordsRead,
+            m.shuffleWriteMetrics.recordsWritten, m.inputMetrics.recordsRead,
+            m.jvmGCTime)
+        tasks.add((te.stageId, t)); ()
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stageNames.put(si.stageId, si.name.take(60)); ()
+      }
+    })
+    val t = System.nanoTime()
+    val out = graft.er.ConnectedComponents.run(edges, driverThreshold = 0L)
+      .localCheckpoint(true)
+    out.count()
+    val sec = (System.nanoTime() - t) / 1e9
+    val byStage = tasks.toArray(Array.empty[(Int, T)])
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    println(f"total=$sec%.1fs  stages=${byStage.size}")
+    byStage.foreach { case (sid, ts0) =>
+      val all = ts0.map(_._2).sortBy(_.dur)
+      val ts = all.filter(_.dur >= 200)
+      if (ts.length >= 8) {
+        val med = ts(ts.length / 2).dur
+        val mx = ts.last.dur
+        val ratio = mx.toDouble / med
+        val flag = if (ratio >= 2.0) "  <== SKEW" else ""
+        println(f"stage=$sid%5d tasks=${all.length}%4d med=${med}ms max=${mx}ms ratio=$ratio%.2f  ${stageNames.getOrDefault(sid, "?")}$flag")
+        if (ratio >= 2.0) {
+          val medT = ts(ts.length / 2)
+          println(s"    med task: $medT")
+          all.takeRight(4).foreach(x => println(s"    slow task: $x"))
+        }
+      }
+    }
+    spark.stop()
+  }
+
   private def graphProbe(qname: String): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

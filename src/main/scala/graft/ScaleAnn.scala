@@ -356,10 +356,12 @@ object ScaleAnn {
     // its own `copies` perturbed siblings, siblings share identical codes,
     // and within-code ranking is id-tie-break — so trained-vs-untrained
     // recall CANNOT separate there, whatever the codebook. This corpus
-    // removes the bound: the same 500k rows, but every vector is a UNIQUE
+    // removes the bound: the same 500k rows, but every vector is a distinct
     // point on the chord between two hash-picked base vectors
-    // (α·b1 + (1-α)·b2 + small hash noise), so no two rows share codes by
-    // construction and ADC ranking quality is actually exercised. Same
+    // (α·b1 + (1-α)·b2 + small hash noise). Two ids CAN collide to the same
+    // (b1, b2, α) and quantize to identical codes — ties are measure-zero
+    // rare, not impossible — which is enough: ADC ranking quality is
+    // actually exercised instead of being id-tie-break-bound. Same
     // strided seeding. The artifact then reports trained vs untrained
     // flat-ADC recall AND quantization error side by side: if training
     // helps, it must show here or nowhere.
@@ -371,8 +373,14 @@ object ScaleAnn {
           pmod(col("id") * 2654435761L, lit(nBase)).as("b1"),
           pmod(xxhash64(col("id"), lit(1)), lit(nBase)).as("b2"),
           (pmod(xxhash64(col("id"), lit(2)), lit(1000)).cast("double") / 1000.0).as("alpha"))
-        .join(broadcast(base.select(col("bid").as("b1"), col("bv").as("v1"))), Seq("b1"))
-        .join(broadcast(base.select(col("bid").as("b2"), col("bv").as("v2"))), Seq("b2"))
+        // keyed joins, NOT broadcast: the endpoint table is |base| × 64
+        // floats per side — broadcasting it twice scales the driver/executor
+        // broadcast memory with the base corpus and hits the ceiling at a
+        // larger SCALE_SF. A shuffled equi-join on the hash-picked endpoint
+        // id is the size-independent shape (AQE may still choose broadcast
+        // when the measured size permits — that's its call, not a hint).
+        .join(base.select(col("bid").as("b1"), col("bv").as("v1")), Seq("b1"))
+        .join(base.select(col("bid").as("b2"), col("bv").as("v2")), Seq("b2"))
         .select(col("vec_id"),
           expr("""transform(v1, (x, j) -> CAST(alpha * x + (1.0 - alpha) * element_at(v2, j + 1)
                |  + (xxhash64(vec_id, j) % 101) * 0.0005 AS FLOAT))""".stripMargin)

@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
 object ScaleGraph {
 
   def main(args: Array[String]): Unit = {
+    // Dev knob: run a subset of phases (e.g. SCALE_GRAPH_PHASES=cc) while
+    // iterating on one engine. A partial run emits metric
+    // "scale_graph_partial" so merge tooling can never fold it into the
+    // round artifact in place of the full record.
+    val phases = sys.env.getOrElse("SCALE_GRAPH_PHASES", "tri,pr,cc")
+      .split(",").map(_.trim).toSet
+    val allPhases = phases == Set("tri", "pr", "cc")
     val edgesN = sys.env.getOrElse("SCALE_EDGES", "10000000").toLong
     val nodesN = sys.env.getOrElse("SCALE_NODES", "2000000").toLong
     val prIters = sys.env.getOrElse("SCALE_PR_ITERS", "10").toInt
@@ -125,43 +132,54 @@ object ScaleGraph {
     import graft.graph.Analytics
 
     // --- triangles: far (shuffle) path, then the gated (broadcast) path
-    System.setProperty("graft.tri.broadcastMaxEdges", "0")
-    val (triShuffle, triShuffleSec, triShuffleStr, triShuffleLoad) =
-      bestOf("tri_shuffle") {
-        Analytics.triangleCount(edges).head.getLong(0)
-      }
-    System.setProperty("graft.tri.broadcastMaxEdges", Long.MaxValue.toString)
-    val (triBroadcast, triBroadcastSec, triBroadcastStr, triBroadcastLoad) =
-      bestOf("tri_broadcast") {
-        Analytics.triangleCount(edges).head.getLong(0)
-      }
-    System.clearProperty("graft.tri.broadcastMaxEdges")
-    require(triShuffle == triBroadcast,
-      s"triangle paths disagree: shuffle=$triShuffle broadcast=$triBroadcast")
+    val (triShuffle, triShuffleSec, triShuffleStr, triShuffleLoad,
+         triBroadcastSec, triBroadcastStr, triBroadcastLoad) = if (!phases("tri"))
+      (0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    else {
+      System.setProperty("graft.tri.broadcastMaxEdges", "0")
+      val (tS, tSSec, tSStr, tSLoad) =
+        bestOf("tri_shuffle") {
+          Analytics.triangleCount(edges).head.getLong(0)
+        }
+      System.setProperty("graft.tri.broadcastMaxEdges", Long.MaxValue.toString)
+      val (tB, tBSec, tBStr, tBLoad) =
+        bestOf("tri_broadcast") {
+          Analytics.triangleCount(edges).head.getLong(0)
+        }
+      System.clearProperty("graft.tri.broadcastMaxEdges")
+      require(tS == tB,
+        s"triangle paths disagree: shuffle=$tS broadcast=$tB")
+      (tS, tSSec, tSStr, tSLoad, tBSec, tBStr, tBLoad)
+    }
 
     // --- PageRank: far (shuffle Pregel) path, then the gated (driver-held
     // contribution table) path — identical integer arithmetic, so the two
     // rank tables must be bit-equal
-    System.setProperty("graft.pr.broadcastMaxNodes", "0")
-    val (prShuffleOut, prShuffleSec, prShuffleStr, prShuffleLoad) =
-      bestOf("pr_shuffle") {
-        val out = Analytics.pageRank(edges, prIters).localCheckpoint(true)
-        out.count()
-        out
-      }
-    // FORCE the broadcast path (the default gate is 100k nodes — measured
-    // by this harness's own crossover probes — so a cleared prop would
-    // silently measure the shuffle path twice at this size)
-    System.setProperty("graft.pr.broadcastMaxNodes", Long.MaxValue.toString)
-    val (prBroadcastOut, prBroadcastSec, prBroadcastStr, prBroadcastLoad) =
-      bestOf("pr_broadcast") {
-        val out = Analytics.pageRank(edges, prIters).localCheckpoint(true)
-        out.count()
-        out
-      }
-    System.clearProperty("graft.pr.broadcastMaxNodes")
-    val prEqual = prShuffleOut.except(prBroadcastOut).isEmpty &&
-      prBroadcastOut.except(prShuffleOut).isEmpty
+    val (prShuffleSec, prShuffleStr, prShuffleLoad,
+         prBroadcastSec, prBroadcastStr, prBroadcastLoad, prEqual) = if (!phases("pr"))
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
+    else {
+      System.setProperty("graft.pr.broadcastMaxNodes", "0")
+      val (pSOut, pSSec, pSStr, pSLoad) =
+        bestOf("pr_shuffle") {
+          val out = Analytics.pageRank(edges, prIters).localCheckpoint(true)
+          out.count()
+          out
+        }
+      // FORCE the broadcast path (the default gate is 100k nodes — measured
+      // by this harness's own crossover probes — so a cleared prop would
+      // silently measure the shuffle path twice at this size)
+      System.setProperty("graft.pr.broadcastMaxNodes", Long.MaxValue.toString)
+      val (pBOut, pBSec, pBStr, pBLoad) =
+        bestOf("pr_broadcast") {
+          val out = Analytics.pageRank(edges, prIters).localCheckpoint(true)
+          out.count()
+          out
+        }
+      System.clearProperty("graft.pr.broadcastMaxNodes")
+      val eq = pSOut.except(pBOut).isEmpty && pBOut.except(pSOut).isEmpty
+      (pSSec, pSStr, pSLoad, pBSec, pBStr, pBLoad, eq)
+    }
 
     // --- connected components: far (distributed min-label + pointer
     // jumping) path, then the gated (driver union-find) path FORCED at the
@@ -173,46 +191,53 @@ object ScaleGraph {
     // plain min-label propagation would need O(diameter) rounds and the
     // pointer-jumping compression has to do real work.
     import graft.er.ConnectedComponents
-    val (ccDistOut, ccDistSec, ccDistStr, ccDistLoad) =
-      bestOf("cc_distributed") {
-        val out = ConnectedComponents.run(edges, driverThreshold = 0L)
-          .localCheckpoint(true)
-        out.count()
-        out
-      }
-    val (ccDriverOut, ccDriverSec, ccDriverStr, ccDriverLoad) =
-      bestOf("cc_driver") {
-        val out = ConnectedComponents.run(edges, driverThreshold = Long.MaxValue)
-          .localCheckpoint(true)
-        out.count()
-        out
-      }
-    val ccEqual = ccDistOut.except(ccDriverOut).isEmpty &&
-      ccDriverOut.except(ccDistOut).isEmpty
-    val ccComponents = ccDistOut.select("component").distinct().count()
+    val (ccDistSec, ccDistStr, ccDistLoad,
+         ccDriverSec, ccDriverStr, ccDriverLoad, ccEqual, ccComponents) = if (!phases("cc"))
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false, 0L)
+    else {
+      val (cDOut, cDSec, cDStr, cDLoad) =
+        bestOf("cc_distributed") {
+          val out = ConnectedComponents.run(edges, driverThreshold = 0L)
+            .localCheckpoint(true)
+          out.count()
+          out
+        }
+      val (cUOut, cUSec, cUStr, cULoad) =
+        bestOf("cc_driver") {
+          val out = ConnectedComponents.run(edges, driverThreshold = Long.MaxValue)
+            .localCheckpoint(true)
+          out.count()
+          out
+        }
+      val eq = cDOut.except(cUOut).isEmpty && cUOut.except(cDOut).isEmpty
+      val nComp = cDOut.select("component").distinct().count()
+      (cDSec, cDStr, cDLoad, cUSec, cUStr, cULoad, eq, nComp)
+    }
 
     // --- driver-memory envelope of the broadcast path (untimed): build the
     // round-1 contribution table exactly as pageRank's collectS does and
     // measure the LIVE array with SizeEstimator. Two generations are alive
     // during each round's swap (cur + nxt), so the gate-edge envelope is
     // 2× this figure scaled to the gate's node count.
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val eod = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-    val sArr = eod
-      .select(col("dst").as("node_id"), expr(s"${1000000000L / vertices} div outdeg").as("c"))
-      .groupBy("node_id").agg(sum("c").as("s"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val sRows = sArr.length.toLong
-    val sBytes = org.apache.spark.util.SizeEstimator.estimate(sArr)
+    val (sRows, sBytes) = if (!phases("pr")) (0L, 0L) else {
+      val e = edges.select(col("src"), col("dst")).distinct()
+      val eod = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      val sArr = eod
+        .select(col("dst").as("node_id"), expr(s"${1000000000L / vertices} div outdeg").as("c"))
+        .groupBy("node_id").agg(sum("c").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      (sArr.length.toLong, org.apache.spark.util.SizeEstimator.estimate(sArr))
+    }
 
-    println(s"""{"metric":"scale_graph","edges":$rawEdges,"edges_param":$edgesN,"nodes_param":$nodesN,""" +
+    val metric = if (allPhases) "scale_graph" else "scale_graph_partial"
+    println(s"""{"metric":"$metric","edges":$rawEdges,"edges_param":$edgesN,"nodes_param":$nodesN,""" +
       s""""distinct_und_edges":$distinctUnd,"vertices":$vertices,"max_degree":$maxDegree,""" +
       s""""pr_iters":$prIters,"triangles":$triShuffle,""" +
       s""""tri_shuffle_sec":$triShuffleSec,"tri_broadcast_sec":$triBroadcastSec,""" +
       s""""pr_shuffle_sec":$prShuffleSec,"pr_broadcast_sec":$prBroadcastSec,""" +
       s""""cc_dist_sec":$ccDistSec,"cc_driver_sec":$ccDriverSec,""" +
       s""""cc_components":$ccComponents,""" +
-      s""""tri_paths_equal":true,"pr_paths_equal":$prEqual,"cc_paths_equal":$ccEqual,""" +
+      s""""tri_paths_equal":${phases("tri")},"pr_paths_equal":$prEqual,"cc_paths_equal":$ccEqual,""" +
       s""""pr_driver_s_rows":$sRows,"pr_driver_s_bytes":$sBytes,""" +
       s""""stragglers":{"tri_shuffle":$triShuffleStr,"tri_broadcast":$triBroadcastStr,""" +
       s""""pr_shuffle":$prShuffleStr,"pr_broadcast":$prBroadcastStr,""" +

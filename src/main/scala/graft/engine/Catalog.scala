@@ -375,11 +375,23 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     val base = new Path(baseDir)
     if (!f.exists(base)) return
     val now = System.currentTimeMillis()
-    f.listStatus(base).map(_.getPath)
-      .filter(_.getName.startsWith(s".$cid.v"))
-      .filterNot(p => keep.exists(k => p.toUri.getPath == k.toUri.getPath))
-      .filter(p => now - versionBirthMillis(p.getName, cid) >= graceMs)
-      .foreach(f.delete(_, true))
+    f.listStatus(base)
+      .filter(_.getPath.getName.startsWith(s".$cid.v"))
+      .filterNot(st => keep.exists(k => st.getPath.toUri.getPath == k.toUri.getPath))
+      .filter { st =>
+        // Birth time = the STORE-side mtime, not (only) the stamp embedded in
+        // the directory name: legacy pre-millis names would parse as birth 0
+        // (immediately GC-eligible, defeating the grace window for a
+        // still-running old-format writer), and a name stamp is the WRITER's
+        // wall clock — comparing it against this node's clock makes the
+        // window vulnerable to cross-node skew. The name stamp stays as a
+        // secondary floor via max(): disagreement errs toward KEEPING a
+        // directory one extra sweep, never toward deleting a live one.
+        val birth = math.max(st.getModificationTime,
+          versionBirthMillis(st.getPath.getName, cid))
+        now - birth >= graceMs
+      }
+      .foreach(st => f.delete(st.getPath, true))
     ()
   }
 

@@ -26,6 +26,12 @@ import org.json4s.jackson.JsonMethods
   * Kinds map to [[DedupeField.Kind]]: `exact`, `string_dist`, `affine_gap`
   * (dedupe's actual comparator family — the native codegen'd expression).
   *
+  * A fixture extracted from the reference's actual trained artifact
+  * (`examples/data/model/requirement.model`, a sequential pickle of
+  * DataModel + fitted sklearn classifier + predicates) is committed at
+  * `src/test/resources/requirement_model_export.json` and replayed
+  * end-to-end (block→pair→score→cluster) in ErSpec.
+  *
   * Scoring contract: the classifier is applied in its LINEAR form,
   * margin = bias + Σ wᵢ·simᵢ, and the threshold (a probability) becomes the
   * equivalent margin cut logit(p) = ln(p/(1−p)). The sigmoid is monotone, so

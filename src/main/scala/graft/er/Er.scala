@@ -265,6 +265,12 @@ object ConnectedComponents {
       }
     }
     val loopParts = math.max(1L, math.min(confParts.toLong, edgeCount / 100000L + 1L)).toInt
+    // Skew-safe pointer jumping (see the loop body) costs two extra jobs per
+    // round — engage it only where rounds are expensive enough to hide the
+    // floor AND label concentration can actually hurt (a key needs more rows
+    // than a partition's fair share). Tests force it with the property.
+    val skewSafe = edgeCount >= sys.props.get("graft.cc.skewSafeMinEdges")
+      .map(_.toLong).getOrElse(1000000L)
     val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
@@ -289,7 +295,7 @@ object ConnectedComponents {
       // normalized anyway — a fixed ~0.3-0.5s floor on toy graphs. (A lazy
       // `labels = projection of e` init would NOT work: joining e against a
       // per-endpoint labels table multiplies to Σdeg² message rows.)
-      val propagated = (if (labels == null)
+      val propagated0 = (if (labels == null)
         e.select(col("src").as("id"), col("src").as("component"), lit(true).as("own"))
           .union(e.select(col("dst").as("id"), col("src").as("component"), lit(false).as("own")))
       else {
@@ -301,14 +307,75 @@ object ConnectedComponents {
         .groupBy("id")
         .agg(min("component").as("component"),
           max(when(col("own"), col("component"))).as("old"))
+      // In skew-safe mode (big graphs) the label table is materialized per
+      // round so the hot-label census below doesn't recompute the propagate
+      // groupBy, and so the three reads in the de-skewed jump plan all hit
+      // checkpointed blocks.
+      val propagated = if (skewSafe) propagated0.localCheckpoint(true) else propagated0
       // path compression (pointer jumping): component <- component(component).
       // Plain min-label propagation needs O(diameter) rounds — a 30-doc
       // near-dup chain is 30 rounds; compression squares the reach per round,
       // so convergence is O(log diameter).
+      //
+      // SKEW: as the loop converges, component values concentrate onto few
+      // labels — a single giant component ends with ~every row carrying the
+      // same value, so hash-joining `propagated` against `parents` on
+      // `component` funnels the whole table through ONE task (measured 4.94
+      // max/median task skew at 10M edges / 1.9M vertices, the artifact's
+      // worst straggler — ScaleGraph r17). Cure, per Kiveris et al.'s
+      // skew-bounding insight adapted to the unique-right-side lookup shape:
+      // (1) census the per-label follower counts (map-side-combinable, so the
+      // census itself cannot skew); (2) labels above a fair-share threshold
+      // are "hot" — their parent rows number ≤ one per hot label, so resolve
+      // them with a BROADCAST join (left rows never move); (3) rows already
+      // resolved by the broadcast get a deterministic per-row salt folded
+      // into the shuffled join's equi-key, spreading the (now matchless) hot
+      // rows across 251 keys instead of one. Cold labels keep salt 0 and
+      // match exactly as before. One extra census action + one checkpoint per
+      // round — engaged only past `skewSafeMinEdges`, where rounds cost
+      // seconds and the per-job floor is noise; toy graphs keep the original
+      // one-action rounds.
       val parents = propagated.select(col("id").as("__pid"), col("component").as("__pcomp"))
-      val next = propagated.join(parents, col("component") === col("__pid"), "left")
-        .select(col("id"), coalesce(col("__pcomp"), col("component")).as("component"), col("old"))
-        .localCheckpoint(false)
+      val plainJump =
+        () => propagated.join(parents, col("component") === col("__pid"), "left")
+          .select(col("id"), coalesce(col("__pcomp"), col("component")).as("component"), col("old"))
+      val jumped = if (!skewSafe) plainJump() else {
+        val hotT = math.max(50000L, edgeCount / (4L * loopParts))
+        val hotVals = propagated.groupBy("component").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= hotT).select("component")
+          .collect().map(_.get(0)).toSeq
+        if (verbose)
+          System.err.println(s"[cc] hot labels: ${hotVals.size} (>=$hotT rows each)")
+        if (hotVals.isEmpty) plainJump() else {
+          // parent row OF a hot label c = the propagated row with id == c;
+          // every label is a node id present in `propagated`, so exactly one
+          // row per hot label — broadcastable by construction.
+          val hotParents = propagated.filter(col("id").isin(hotVals: _*))
+            .select(col("id").as("__hpid"), col("component").as("__hpcomp"))
+          // deterministic salt (hash of the row's own id): retried tasks
+          // recompute the same value, and hot rows spread over 251 distinct
+          // shuffle keys that can never match the right side's salt 0.
+          val salted = propagated.withColumn("__salt",
+            when(col("component").isin(hotVals: _*),
+              pmod(hash(col("id")), lit(251)) + lit(1)).otherwise(lit(0)))
+          // The right side's salt column must be 0 WITHOUT being foldable: a
+          // plain lit(0) gets constant-propagated by Catalyst, which rewrites
+          // `__salt = __pz` into the post-join filter `__salt = 0` and drops
+          // the salt from the equi keys — the shuffle collapses back to
+          // hash(component) and the hot key funnels through one task again
+          // (verified via .explain: SMJ `Left keys [component]`, `Join
+          // condition: (__salt = 0)`). pmod(xxhash64(__pid), 1) is always 0
+          // but hangs off an attribute, so it survives as a genuine second
+          // key pair and the shuffle is hash(component, __salt).
+          salted.join(broadcast(hotParents), col("component") === col("__hpid"), "left")
+            .join(parents.withColumn("__pz", pmod(xxhash64(col("__pid")), lit(1)).cast("int")),
+              col("component") === col("__pid") && col("__salt") === col("__pz"), "left")
+            .select(col("id"),
+              coalesce(col("__hpcomp"), col("__pcomp"), col("component")).as("component"),
+              col("old"))
+        }
+      }
+      val next = jumped.localCheckpoint(false)
       // ONE action per round: materializes the lazy checkpoint and counts the
       // changed labels in the same scan (the old per-round join + count was a
       // second full labels-vs-labels join — measurable at scale).

@@ -22,20 +22,35 @@ object Tables {
     * LlmQueries' AnnIndex key): a table regenerated in-JVM with a changed
     * schema must MISS — serving the old schema to spark.read.schema would
     * silently return NULL for the renamed columns, not an error. For the
-    * read-only testdata the stat costs ~nothing and the key never changes. */
-  private def key(path: String): String = {
-    val d = new java.io.File(path.stripPrefix("file:"))
-    val parts = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("part-"))
-    s"$path@${d.lastModified()}#${parts.length}:${parts.map(_.length()).sum}"
-  }
+    * read-only testdata the stat costs ~nothing and the key never changes.
+    *
+    * The fingerprint goes through the Hadoop FileSystem API, not
+    * java.io.File: for hdfs://, s3a://, or any custom-scheme path a local
+    * File stat silently returns null/0 and the key would collapse to a
+    * constant — the exact staleness this key exists to prevent. Stat
+    * covers the directory and every part file (max mtime + count + total
+    * bytes). If the store can't be statted at all, return None and skip
+    * memoization entirely — correctness over the saved footer job. */
+  private def key(s: SparkSession, path: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+      val mod = parts.map(_.getModificationTime)
+        .foldLeft(fs.getFileStatus(p).getModificationTime)(math.max)
+      Some(s"$path@$mod#${parts.length}:${parts.map(_.getLen).sum}")
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Read `dir/name.parquet` with the memoized schema (inferring and
     * memoizing on first touch). */
   def read(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val sch = schemas.computeIfAbsent(key(path), _ => s.read.parquet(path).schema)
-    s.read.schema(sch).parquet(path)
+    key(s, path) match {
+      case Some(k) =>
+        val sch = schemas.computeIfAbsent(k, _ => s.read.parquet(path).schema)
+        s.read.schema(sch).parquet(path)
+      case None => s.read.parquet(path) // unstattable store: always infer
+    }
   }
 
   /** [[read]] + temp-view registration, for the SQL-text queries. */

@@ -291,19 +291,30 @@ class CatalogSpec extends AnyFunSuite {
     try {
       val cat = freshCat()
       val base = new java.io.File(cat.baseDir)
-      // a crash orphan: legacy nano-only name parses as birth 0 = expired
+      val expiredMtime = System.currentTimeMillis() - 16L * 60 * 1000 // > 15 min grace
+      // a crash orphan with a legacy nano-only name: the name parses as birth
+      // 0, but birth is judged by the STORE-side mtime — age it past grace
       val legacyOrphan = new java.io.File(base, ".d_cache.v12345")
-      assert(legacyOrphan.mkdir())
-      // an expired wall-clock-stamped orphan
+      assert(legacyOrphan.mkdir() && legacyOrphan.setLastModified(expiredMtime))
+      // an expired wall-clock-stamped orphan, store-side old as well
       val oldOrphan = new java.io.File(base, ".d_cache.v1000_1")
-      assert(oldOrphan.mkdir())
+      assert(oldOrphan.mkdir() && oldOrphan.setLastModified(expiredMtime))
+      // a freshly-CREATED directory with a legacy name — a still-running
+      // pre-millis writer mid-materialize. The old name-only rule parsed its
+      // birth as 0 and deleted it immediately (the r17-advice hazard: its
+      // later pointer PUT would publish a dangling target); the store mtime
+      // now protects it for a grace window.
+      val freshLegacy = new java.io.File(base, ".d_cache.v99")
+      assert(freshLegacy.mkdir())
       // a YOUNG directory — stands in for a concurrent snapshot mid-write
       val young = new java.io.File(base, s".d_cache.v${System.currentTimeMillis()}_1")
       assert(young.mkdir())
       cat.write(Seq(1).toDF("v"), "d")
       cat.snapshot("d")
-      assert(!legacyOrphan.exists(), "legacy orphan version must be GCed on publish")
+      assert(!legacyOrphan.exists(), "store-side-expired legacy orphan must be GCed on publish")
       assert(!oldOrphan.exists(), "expired orphan version must be GCed on publish")
+      assert(freshLegacy.exists(),
+        "a store-side-young directory must survive whatever its name stamp says")
       assert(young.exists(), "a version younger than the grace window must survive")
       // the published version itself survives, of course
       val ptr = new java.io.File(s"${cat.baseDir}/d_cache.ptr")
@@ -312,7 +323,7 @@ class CatalogSpec extends AnyFunSuite {
       assert(TestSpark.rows(cat.loadCache("d")) === Set(Seq(1)))
       // drop is explicit destruction: every version goes, grace or not
       cat.drop(cat.cacheId("d"))
-      assert(!ptr.exists() && !young.exists(),
+      assert(!ptr.exists() && !young.exists() && !freshLegacy.exists(),
         "drop must GC all version directories including young ones")
     } finally System.clearProperty("graft.fs.atomicRename")
   }

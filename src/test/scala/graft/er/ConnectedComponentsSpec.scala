@@ -68,6 +68,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("skew-safe distributed path (forced) matches brute force, incl. string ids") {
+    // graft.cc.skewSafeMinEdges=0 forces the hot-label census + broadcast +
+    // salted-jump plan that production only engages past 1M edges; a star
+    // graph guarantees a hot label (every row converges to component 1).
+    sys.props("graft.cc.skewSafeMinEdges") = "0"
+    try {
+      val star = (2L to 400L).map(i => (1L, i)) ++ Seq((500L, 501L), (501L, 502L))
+      assert(sparkCC(star, distributed = true) === bruteForce(star))
+      val rnd = new Random(7)
+      val edges = Seq.fill(800)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      assert(sparkCC(edges, distributed = true) === bruteForce(edges))
+      val sEdges = Seq(("b_x", "a_y"), ("a_y", "c_z"), ("d_1", "d_2")).toDF("src", "dst")
+      val dist = ConnectedComponents.run(sEdges, driverThreshold = 0L)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(dist === Map("a_y" -> "a_y", "b_x" -> "a_y", "c_z" -> "a_y",
+        "d_1" -> "d_1", "d_2" -> "d_1"))
+    } finally sys.props.remove("graft.cc.skewSafeMinEdges")
+  }
+
   test("distributed path on a 2000-node random graph matches brute force") {
     val rnd = new Random(99)
     val n = 2000

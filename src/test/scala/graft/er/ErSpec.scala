@@ -139,6 +139,60 @@ class ErSpec extends AnyFunSuite {
     ()
   }
 
+  test("requirement.model fixture: the reference's actual trained classifier replays to exact clusters") {
+    // Fixture provenance (src/test/resources/requirement_model_export.json):
+    // the reference ships its trained messy-dedupe model as
+    // examples/data/model/requirement.model — a SEQUENTIAL pickle of
+    // (dedupe.datamodel.DataModel, fitted sklearn GridSearchCV, predicates).
+    // Extracted offline with a stub unpickler (dedupe/sklearn aren't needed
+    // to read pickle STATE dicts):
+    //   field order  = full_name (String → affine-gap comparator),
+    //                  before_whitespace / before_upper_bracket /
+    //                  before_marks (Exact)            [DataModel.primary_variables]
+    //   coef_        = [-4.135198312439431e-05, 1.32320506e-04,
+    //                   5.6134380677e-05, 1.0425172396e-04]
+    //   intercept_   = 0.4012396574206389              [best_estimator_, C=1e-05]
+    //   threshold    = 0.5   (MessyMatcher, examples/graph/resolution/main.py:48)
+    val json = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/requirement_model_export.json"), "UTF-8").mkString
+    val m = DedupeModel.fromJson(json)
+    assert(m.fields.map(_.name) === Seq("full_name", "before_whitespace",
+      "before_upper_bracket", "before_marks"))
+    assert(m.fields.map(_.kind) === Seq[DedupeField.Kind](DedupeField.AffineGap,
+      DedupeField.Exact, DedupeField.Exact, DedupeField.Exact))
+    assert(m.bias === 0.4012396574206389 && m.threshold === 0.5)
+    // The REAL model is nearly constant: |Σ wᵢ·simᵢ| ≤ 3.35e-4 while the bias
+    // is 0.401, so EVERY candidate pair clears logit(0.5) = 0. dedupe agrees:
+    // sigmoid(0.401 ± 3e-4) ≈ 0.599 > 0.5 whatever the comparator values (its
+    // affine-gap distance scale vs our [0,1] similarity cannot flip a margin
+    // this lopsided). Expected clusters = connected components of the
+    // BLOCKING graph, hand-derived below.
+    val messy = Seq(
+      (1L, "numpy >= 1.2"), // blocks with 2 via first-token "numpy"
+      (2L, "numpy"),
+      (3L, "pandas>=2.0"),  // blocks with 4 via 4-char prefix "pand"
+      (4L, "pandas"),
+      (5L, "scipy")         // alone in every block → no candidate pair
+    ).toDF("node_id", "name")
+    val feats = messy.select(
+      col("node_id"),
+      col("name").as("full_name"),
+      Features.beforeWhitespace(col("name")).as("before_whitespace"),
+      Features.beforeUpperBracket(col("name")).as("before_upper_bracket"),
+      Features.beforeMarks(col("name")).as("before_marks"))
+    val blocks = Blocking.blockTable(feats, "node_id",
+      Blocking.defaultPredicates(col("full_name")))
+    val pairs = Pairing.candidatePairs(blocks)
+    val selected = m.selectPairs(
+      Pairing.withFeatures(pairs, feats, "node_id", m.fields.map(_.name)))
+    // every selected score sits in the near-constant band around the bias
+    val scores = selected.select("score").as[Double].collect()
+    assert(scores.nonEmpty && scores.forall(s => math.abs(s - m.bias) <= 3.35e-4))
+    val clusters = ConnectedComponents.clusterMapping(selected.select("from", "to"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("Mappings.combine unions renamed mappings; unmapped anti-joins (main.py:161-244)") {
     val m2c = Seq((1L, 11L)).toDF("messy_id", "canon_id")
     val m2cl = Seq((2L, 22L)).toDF("messy_id", "cluster_id")

@@ -327,7 +327,14 @@ def merge_flagship_points(keep, other):
     loads all describe that run's final point, and splicing a foreign total
     under this run's stage breakdown would publish a row whose stages sum to
     more than its total — the record-level min already arbitrates the last
-    point by choosing whole records."""
+    point by choosing whole records.
+
+    Folded points are tagged `"folded": true` in the published record: their
+    point-level wall times come from a different run than the record-level
+    context (loads, stage_stragglers, load_at_start/end), so a downstream
+    reader of SCALE_r*.json must be able to tell composite points from
+    single-run points instead of attributing run A's ambient-load fields to
+    run B's clock."""
     if keep.get("metric") != "scale_flagship" or "points" not in other:
         return
     by_copies = {p["copies"]: p for p in other.get("points", [])}
@@ -340,6 +347,7 @@ def merge_flagship_points(keep, other):
                   f"({o['total_sec']:.1f}s < {p['total_sec']:.1f}s)", file=sys.stderr)
             p["total_sec"] = o["total_sec"]
             p["result_sec"] = o["result_sec"]
+            p["folded"] = True
 
 
 def main():
