@@ -454,6 +454,53 @@ object ScaleAnn {
     val spreadAdc2Recall = spreadRecallOf(spreadAdc2U)
     val spreadAdc2TrainedRecall = spreadRecallOf(spreadAdc2T)
 
+    // --- DENSITY-crossover sweep: the density explanation for flat-ADC
+    // recall rested on two points (20k lifts, 500k flat); sweep the SAME
+    // spread geometry at several densities with FIXED m / 64 codes to pin
+    // where the trained-vs-untrained gap closes. `vec_id < n` prefixes
+    // preserve the chord geometry (endpoints and α are id-hashed, so a
+    // prefix is a uniform subsample, not a biased one), and the queries are
+    // the same nQueries rows at every density, so recall is comparable down
+    // the column. The largest (full) point is the headline spread
+    // experiment above — copied into the sweep, not recomputed.
+    case class DensityPoint(n: Long, bruteSec: Double, adcRecall: Double,
+                            adcTrainedRecall: Double, quantErr: Double, quantErrT: Double)
+    val densities = sys.env.getOrElse("SCALE_SPREAD_DENSITIES", "20000,100000,250000")
+      .split(",").map(_.trim.toLong).toSeq.filter(_ < nVecs).sorted
+    val densityPoints = densities.map { dn =>
+      val sub = spreadCorpus.filter(col("vec_id") < dn).localCheckpoint(true)
+      val subQ = sub.filter(col("vec_id") < nQueries)
+      val (subExact, subBruteSec, _, _) = bestOf(s"spread_brute_$dn") {
+        val e = Similarity.bruteForceTopK(sub, subQ, "vec_id", "embedding", k = k)
+          .localCheckpoint(true)
+        e.count()
+        e
+      }
+      val nSubExact = subExact.count()
+      val stride = math.max(1L, dn / pqCodes)
+      val where = col("vec_id") % stride === 0 && col("vec_id") < stride * pqCodes
+      val cbU = Similarity.pqCodebook(sub, "vec_id", "embedding", pqM, pqCodes, Some(where))
+      val cbT = Similarity.pqCodebookTrained(sub, "vec_id", "embedding",
+        pqM, pqCodes, pqTrainIters, Some(where))
+      def recallWith(cb: Array[Array[Array[Long]]]): Double = {
+        val enc = Similarity.pqEncode(sub, "vec_id", "embedding", cb, "match_id")
+          .localCheckpoint(true)
+        Similarity.pqTopK(sub, subQ, "vec_id", "embedding",
+            m = pqM, nCodes = pqCodes, k = k, rerank = 0,
+            codebook = Some(cb), encTable = Some(enc))
+          .select("query_id", "match_id")
+          .intersect(subExact.select("query_id", "match_id"))
+          .count().toDouble / nSubExact
+      }
+      val p = DensityPoint(dn, subBruteSec, recallWith(cbU), recallWith(cbT),
+        Similarity.pqQuantErr(sub, "vec_id", "embedding", cbU),
+        Similarity.pqQuantErr(sub, "vec_id", "embedding", cbT))
+      System.err.println(f"[scale_ann] density $dn: adc ${p.adcRecall}%.3f" +
+        f" trained ${p.adcTrainedRecall}%.3f qerr ${p.quantErr}%.0f/${p.quantErrT}%.0f")
+      p
+    } :+ DensityPoint(nVecs, spreadBruteSec, spreadAdcRecall, spreadAdcTrainedRecall,
+      spreadQuantErr, spreadQuantErrT)
+
     // --- SemDeDup semantic prune over the SAME index artifacts (seeds +
     // inverted lists): within-cluster anti join keeps one representative per
     // near-dup chain. The replicated corpus is the ideal stress case — every
@@ -517,6 +564,10 @@ object ScaleAnn {
       s""""spread_adc256_sec":$spreadAdc2Sec,"spread_adc256_trained_sec":$spreadAdc2TSec,""" +
       s""""spread_adc256_recall":$spreadAdc2Recall,"spread_adc256_trained_recall":$spreadAdc2TrainedRecall,""" +
       s""""spread_quant_err256":$spreadQuantErr2,"spread_quant_err256_trained":$spreadQuantErr2T,""" +
+      s""""spread_density_sweep":{""" + densityPoints.map(p =>
+        s""""${p.n}":{"brute_sec":${p.bruteSec},"adc_recall":${p.adcRecall},""" +
+        s""""adc_trained_recall":${p.adcTrainedRecall},""" +
+        s""""quant_err":${p.quantErr},"quant_err_trained":${p.quantErrT}}""").mkString(",") + "}," +
       s""""pq_ivf_encode_sec":$pqIvfEncodeSec,"pq_ivf8_sec":$pqIvf8Sec,""" +
       s""""pq_ivf8_recall":$pqIvf8Recall,""" +
       s""""semdedup_tau":$semTau,"semdedup_sec":$semSec,"semdedup_kept":$semKept,""" +

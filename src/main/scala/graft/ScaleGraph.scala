@@ -93,6 +93,17 @@ object ScaleGraph {
     val phaseSamples = sys.env.getOrElse("SCALE_PHASE_SAMPLES", "2").toInt
     def bestOf[A](tag: String)(body: => A): (A, Double, Double, Double) = {
       val runs = (1 to phaseSamples).map { _ =>
+        // Pay the PREVIOUS phase's GC debt outside the timed window: the
+        // broadcast-path PageRank churns ~100 MB driver arrays per round,
+        // and without this the next phase's first mixed-GC pause lands
+        // mid-sample and reads as a task-time straggler (observed: the cc
+        // phase, which runs last, recording 2x wall + 4.7 max/median in
+        // the SAME code a fresh-JVM probe runs clean). The explicit gc()
+        // also lets the ContextCleaner reap the prior phase's now-
+        // unreachable localCheckpoint blocks before the sample starts —
+        // same hygiene class as the clearCache() below.
+        System.gc()
+        Thread.sleep(2000)
         val load = gateOnLoad(tag)
         val t = System.nanoTime()
         val a = body

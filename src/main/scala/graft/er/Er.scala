@@ -222,14 +222,20 @@ object ConnectedComponents {
     // set once and truncates the upstream lineage; blocks are freed by the
     // ContextCleaner once the DataFrame is unreferenced.
     val s = edges.toDF("src", "dst").localCheckpoint(true)
-    // undirected: symmetrize LAZILY over the checkpointed blocks — the union
-    // is narrow (two block reads, no shuffle), so re-evaluating it each round
-    // costs nothing and a second eager checkpoint would only re-write the
-    // whole edge set to storage again. No distinct(): the per-round min
+    // undirected: symmetrize LAZILY over the checkpointed blocks — narrow
+    // (block read, no shuffle), so re-evaluating it each round costs
+    // nothing and a second eager checkpoint would only re-write the whole
+    // edge set to storage again. One explode pass, not union-of-two-
+    // projections: a union doubles the stage's task count (two waves on a
+    // fully-subscribed local executor), and multi-wave stages are where
+    // the max/median task-time ratio picks up scheduling noise that reads
+    // as skew in the scale artifact. No distinct(): the per-round min
     // aggregate absorbs duplicate edges and self-loops, so deduping here
     // would spend a full shuffle to save nothing downstream.
-    val e = s.select(col("src"), col("dst"))
-      .union(s.select(col("dst").as("src"), col("src").as("dst")))
+    val e = s.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     if (verbose)
       System.err.println(f"[cc] edges checkpoint ${(System.nanoTime() - tE) / 1e9}%.2fs")
@@ -295,9 +301,18 @@ object ConnectedComponents {
       // normalized anyway — a fixed ~0.3-0.5s floor on toy graphs. (A lazy
       // `labels = projection of e` init would NOT work: joining e against a
       // per-endpoint labels table multiplies to Σdeg² message rows.)
+      // Round 1's seed is a single 4-way explode over the RAW checkpointed
+      // pairs (own-rows + messages in both directions) rather than two
+      // projections of the symmetrized view — one task wave over 32 blocks
+      // instead of four, same rows (see the `e` comment on wave noise).
       val propagated0 = (if (labels == null)
-        e.select(col("src").as("id"), col("src").as("component"), lit(true).as("own"))
-          .union(e.select(col("dst").as("id"), col("src").as("component"), lit(false).as("own")))
+        s.select(explode(array(
+            struct(col("src").as("id"), col("src").as("component"), lit(true).as("own")),
+            struct(col("dst").as("id"), col("src").as("component"), lit(false).as("own")),
+            struct(col("dst").as("id"), col("dst").as("component"), lit(true).as("own")),
+            struct(col("src").as("id"), col("dst").as("component"), lit(false).as("own")))).as("__m"))
+          .select(col("__m.id").as("id"), col("__m.component").as("component"),
+            col("__m.own").as("own"))
       else {
         val messages = e.join(labels, e("src") === labels("id"))
           .select(e("dst").as("id"), col("component"), lit(false).as("own"))
