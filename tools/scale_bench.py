@@ -421,6 +421,22 @@ def main():
                 print(f"[scale] keeping existing {k} record "
                       f"({PRIMARY[k](old):.1f}s <= {PRIMARY[k](rec):.1f}s)", file=sys.stderr)
                 merge_flagship_points(old, rec)
+                # NEW-experiment fields the kept record predates (a harness
+                # gained a measurement since the stored record was taken) are
+                # folded in rather than dropped — tagged with provenance, same
+                # discipline as the flagship points' "folded": the kept
+                # record's loads/stragglers don't describe these fields'
+                # run, and a reader must be able to tell.
+                new_fields = [f for f in rec
+                              if f not in old and f not in ("load_at_start",
+                                                            "load_at_end", "n_runs")]
+                if new_fields:
+                    for f in new_fields:
+                        old[f] = rec[f]
+                    old.setdefault("folded_fields", []).extend(
+                        f for f in new_fields if f not in old.get("folded_fields", []))
+                    print(f"[scale] folded new fields into kept {k} record: "
+                          f"{new_fields}", file=sys.stderr)
             else:
                 if old is not None and not same:
                     print(f"[scale] WARNING: {k} workload changed "
