@@ -32,7 +32,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESSES = ["graft.ScaleBench", "graft.ScaleJoins", "graft.ScaleAnn",
              "graft.ScaleZOrder", "graft.ScaleBuckets", "graft.ScaleStream",
-             "graft.ScaleDecontam", "graft.ScaleGraph", "graft.ScaleFlagship"]
+             "graft.ScaleDecontam", "graft.ScaleGraph", "graft.ScaleFlagship",
+             "graft.ScaleEr"]
 
 
 def loadavg():
@@ -96,6 +97,8 @@ PRIMARY = {
     "scale_decontam": lambda r: r["bloom_sec"] + r["nogate_sec"],
     "scale_graph": lambda r: r["tri_shuffle_sec"] + r["pr_shuffle_sec"],
     "scale_flagship": lambda r: r["total_sec"],
+    "scale_er": lambda r: (r["gaz_nogate_sec"] + r["gaz_gated_sec"]
+                           + r["pairs_nogate_sec"] + r["pairs_gated_sec"]),
 }
 
 
@@ -274,6 +277,23 @@ def table(merged):
                  f"(components={g['cc_components']:,}, labels equal: {g['cc_paths_equal']})",
                  f"{max(g['stragglers']['cc_dist'], g['stragglers']['cc_driver']):.2f}"),
             ]
+    if "scale_er" in merged:
+        e = merged["scale_er"]
+        st = e["stragglers"]
+        rows += [
+            ("Gazetteer match: ungated vs maxBlockPairs-gated",
+             f"{e['messy']:,} messy x {e['canon']:,} canon "
+             f"({e['cand_nogate']:,} ungated candidates, "
+             f"{e['hot_keys_over_gate']} hot keys)",
+             f"{e['gaz_nogate_sec']:.1f}s / {e['gaz_gated_sec']:.1f}s "
+             f"(matched {e['gaz_nogate_matched']:,} -> {e['gaz_gated_matched']:,})",
+             f"{st['gaz_nogate']:.2f} -> {st['gaz_gated']:.2f}"),
+            ("ER blocking pair generation: ungated vs maxBlockSize-gated",
+             f"same messy universe, {e['messy_block_rows']:,} block rows",
+             f"{e['pairs_nogate_sec']:.1f}s / {e['pairs_gated_sec']:.1f}s "
+             f"({e['pairs_nogate']:,} -> {e['pairs_gated']:,} pairs)",
+             f"{st['pairs_nogate']:.2f} -> {st['pairs_gated']:.2f}"),
+        ]
     if "scale_flagship" in merged:
         fl = merged["scale_flagship"]
         ss = fl["stage_secs"]
@@ -312,6 +332,87 @@ def table(merged):
            "|---|---|---|---|"]
     out += [f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} |" for r in rows]
     return "\n".join(out)
+
+
+# Per-field-FAMILY refold: a kept (min-ratchet) record can still carry a
+# sub-experiment measured under load while a newer losing run measured it
+# clean — the r17/r18 postmortem: the quiet-window LSH sweep was re-measured
+# twice and existed only in README prose, because the record-level min kept
+# the old record and the new-field fold only covers fields the old record
+# LACKS. A family ties together the fields that must move as one (the sweep
+# dict + its headline scalars + the per-phase entries in stragglers/loads)
+# so a refold can never publish an internally inconsistent record. Non-clock
+# leaves (recalls, rows, plane counts) are deterministic for the same
+# workload and must be EQUAL for the refold to engage; the family's summed
+# clock decides. Refolds are tagged in `refolded_fields` with the
+# contributing run's loads — same reader-visible provenance discipline as
+# `folded_fields` and the flagship points' `"folded": true`.
+REFOLD_FAMILIES = {
+    "scale_ann": [{
+        "name": "lsh",
+        "fields": ["lsh_sweep", "lsh_sec", "lsh_recall", "lsh_mp_sec",
+                   "lsh_mp_recall", "lsh_planes"],
+        "subkeys": {"stragglers": ["lsh", "lsh_multiprobe"],
+                    "loads": ["lsh", "lsh_multiprobe"]},
+    }],
+}
+
+
+def _clock_sum(v):
+    """Recursive sum of wall-clock leaves (keys named `sec` / `*_sec`)."""
+    if isinstance(v, dict):
+        return sum(_clock_sum(x) if not (isinstance(x, (int, float))
+                                         and (k == "sec" or k.endswith("_sec")))
+                   else float(x) for k, x in v.items())
+    return 0.0
+
+
+def _nonclock(v):
+    """Recursive copy with clock leaves removed — the determinism witness."""
+    if isinstance(v, dict):
+        return {k: _nonclock(x) for k, x in v.items()
+                if not (isinstance(x, (int, float))
+                        and (k == "sec" or k.endswith("_sec")))}
+    return v
+
+
+def refold_families(metric, old, rec):
+    for fam in REFOLD_FAMILIES.get(metric, []):
+        fields = [f for f in fam["fields"] if f in old and f in rec]
+        clocked = [f for f in fields
+                   if f == "sec" or f.endswith("_sec") or isinstance(rec[f], dict)]
+        if not clocked:
+            continue
+        plain = [f for f in fields if f not in clocked]
+        # determinism witness: every non-clock value (incl. non-clock leaves
+        # inside dict fields) must agree, else this is a different experiment
+        # (changed planes/geometry) and field-level mixing would lie.
+        # Scalar `*_sec` fields are pure clock — no witness to compare.
+        if any(_nonclock(old[f]) != _nonclock(rec[f])
+               for f in clocked if isinstance(old[f], dict)) or \
+           any(old[f] != rec[f] for f in plain):
+            continue
+        old_clock = sum(float(old[f]) if not isinstance(old[f], dict)
+                        else _clock_sum(old[f]) for f in clocked)
+        new_clock = sum(float(rec[f]) if not isinstance(rec[f], dict)
+                        else _clock_sum(rec[f]) for f in clocked)
+        if new_clock < old_clock:
+            for f in fields:
+                old[f] = rec[f]
+            for top, keys in fam.get("subkeys", {}).items():
+                for kk in keys:
+                    if top in old and kk in rec.get(top, {}):
+                        old[top][kk] = rec[top][kk]
+            old.setdefault("refolded_fields", {})[fam["name"]] = {
+                "fields": fields,
+                "load_at_start": rec.get("load_at_start"),
+                "load_at_end": rec.get("load_at_end"),
+                "loads": {kk: rec.get("loads", {}).get(kk)
+                          for kk in fam.get("subkeys", {}).get("loads", [])},
+            }
+            print(f"[scale] refolded {metric} family '{fam['name']}' from the "
+                  f"cleaner run ({new_clock:.1f}s < {old_clock:.1f}s)",
+                  file=sys.stderr)
 
 
 def merge_flagship_points(keep, other):
@@ -421,6 +522,7 @@ def main():
                 print(f"[scale] keeping existing {k} record "
                       f"({PRIMARY[k](old):.1f}s <= {PRIMARY[k](rec):.1f}s)", file=sys.stderr)
                 merge_flagship_points(old, rec)
+                refold_families(k, old, rec)
                 # NEW-experiment fields the kept record predates (a harness
                 # gained a measurement since the stored record was taken) are
                 # folded in rather than dropped — tagged with provenance, same
