@@ -105,6 +105,17 @@ object Probe {
       .localCheckpoint(true)
     out.count()
     val sec = (System.nanoTime() - t) / 1e9
+    // SparkListener events arrive asynchronously on the listener bus — the
+    // final stages' task-end events may still be queued when count() returns,
+    // under-attributing the tail rounds' skew. waitUntilEmpty is
+    // private[spark], so drain via reflection with a bounded-sleep fallback.
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethods.find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .map(_.invoke(bus))
+        .getOrElse(bus.getClass.getMethods.find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+          .map(_.invoke(bus, java.lang.Long.valueOf(10000L))).getOrElse(Thread.sleep(2000)))
+    } catch { case _: Throwable => Thread.sleep(2000) }
     val byStage = tasks.toArray(Array.empty[(Int, T)])
       .groupBy(_._1).toSeq.sortBy(_._1)
     println(f"total=$sec%.1fs  stages=${byStage.size}")

@@ -39,7 +39,11 @@ object ScaleGraph {
     // "scale_graph_partial" so merge tooling can never fold it into the
     // round artifact in place of the full record.
     val phases = sys.env.getOrElse("SCALE_GRAPH_PHASES", "tri,pr,cc")
-      .split(",").map(_.trim).toSet
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // fail fast on typos: an unrecognized token would otherwise silently run
+    // zero phases and emit an all-zeros partial record
+    require(phases.nonEmpty && phases.subsetOf(Set("tri", "pr", "cc")),
+      s"SCALE_GRAPH_PHASES must be a non-empty subset of tri,pr,cc; got $phases")
     val allPhases = phases == Set("tri", "pr", "cc")
     val edgesN = sys.env.getOrElse("SCALE_EDGES", "10000000").toLong
     val nodesN = sys.env.getOrElse("SCALE_NODES", "2000000").toLong
@@ -167,8 +171,8 @@ object ScaleGraph {
     // contribution table) path — identical integer arithmetic, so the two
     // rank tables must be bit-equal
     val (prShuffleSec, prShuffleStr, prShuffleLoad,
-         prBroadcastSec, prBroadcastStr, prBroadcastLoad, prEqual) = if (!phases("pr"))
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
+         prBroadcastSec, prBroadcastStr, prBroadcastLoad, prEqual, prCadenceJson) = if (!phases("pr"))
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false, "{}")
     else {
       System.setProperty("graft.pr.broadcastMaxNodes", "0")
       val (pSOut, pSSec, pSStr, pSLoad) =
@@ -177,6 +181,24 @@ object ScaleGraph {
           out.count()
           out
         }
+      // checkpoint-cadence probe (round-18 advice #7): the shuffle path cuts
+      // lineage every round — 9 materializations over 10 rounds at this node
+      // count. Sparser cuts (k rounds composed into one job) trade
+      // blockstore writes for deeper plans; ranks must stay bit-equal.
+      val cadenceSecs = Seq(2, 3).map { k =>
+        System.setProperty("graft.pr.checkpointEvery", k.toString)
+        val (out, sec, _, _) = bestOf(s"pr_shuffle_ck$k") {
+          val o = Analytics.pageRank(edges, prIters).localCheckpoint(true)
+          o.count()
+          o
+        }
+        System.clearProperty("graft.pr.checkpointEvery")
+        require(out.except(pSOut).isEmpty && pSOut.except(out).isEmpty,
+          s"cadence-$k ranks diverged from per-round checkpointing")
+        k -> sec
+      }
+      val cadenceJson = ((1 -> pSSec) +: cadenceSecs)
+        .map { case (k, s) => s""""$k":$s""" }.mkString("{", ",", "}")
       // FORCE the broadcast path (the default gate is 100k nodes — measured
       // by this harness's own crossover probes — so a cleared prop would
       // silently measure the shuffle path twice at this size)
@@ -189,7 +211,7 @@ object ScaleGraph {
         }
       System.clearProperty("graft.pr.broadcastMaxNodes")
       val eq = pSOut.except(pBOut).isEmpty && pBOut.except(pSOut).isEmpty
-      (pSSec, pSStr, pSLoad, pBSec, pBStr, pBLoad, eq)
+      (pSSec, pSStr, pSLoad, pBSec, pBStr, pBLoad, eq, cadenceJson)
     }
 
     // --- connected components: far (distributed min-label + pointer
@@ -246,6 +268,7 @@ object ScaleGraph {
       s""""pr_iters":$prIters,"triangles":$triShuffle,""" +
       s""""tri_shuffle_sec":$triShuffleSec,"tri_broadcast_sec":$triBroadcastSec,""" +
       s""""pr_shuffle_sec":$prShuffleSec,"pr_broadcast_sec":$prBroadcastSec,""" +
+      s""""pr_ckpt_cadence":$prCadenceJson,""" +
       s""""cc_dist_sec":$ccDistSec,"cc_driver_sec":$ccDriverSec,""" +
       s""""cc_components":$ccComponents,""" +
       s""""tri_paths_equal":${phases("tri")},"pr_paths_equal":$prEqual,"cc_paths_equal":$ccEqual,""" +

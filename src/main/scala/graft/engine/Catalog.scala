@@ -314,17 +314,43 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
 
   private def cachePtr(id: String) = new Path(s"$baseDir/${cacheId(id)}.ptr")
 
+  /** Bounded retry for TRANSIENT store faults on small idempotent metadata
+    * reads (object stores throw sporadic 5xx-style IOExceptions; the
+    * connectors surface them as IOException after their own internal
+    * retries give up). FileNotFoundException is excluded — a missing object
+    * is a protocol STATE (pre-first-publish, post-drop), not a fault, and
+    * retrying it would only turn the contract's allowed-miss failure into
+    * a 150 ms-slower identical failure. Scoped to the pointer read: a
+    * dataset scan's fault handling belongs to Spark's task retry, not here. */
+  private def retryingTransient[A](what: String)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.FileNotFoundException => throw e
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+          System.err.println(s"[catalog] transient fault on $what (attempt $attempt): $e")
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Where the current cache snapshot for `id` lives: the pointer file's
     * target when one exists (object-store path), else the fixed rename
     * destination. */
   private def cachePath(id: String): Path = {
     val ptr = cachePtr(id)
     val f = fs(ptr)
-    if (f.exists(ptr)) {
-      val in = f.open(ptr)
-      try new Path(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
-    } else new Path(s"$baseDir/${cacheId(id)}.parquet")
+    retryingTransient(s"pointer read $ptr") {
+      if (f.exists(ptr)) {
+        val in = f.open(ptr)
+        try new Path(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } else new Path(s"$baseDir/${cacheId(id)}.parquet")
+    }
   }
 
   /** Delete a superseded snapshot pointer AND the version directory it
@@ -342,9 +368,11 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   private def retirePointer(f: FileSystem, ptr: Path, graceMs: Long = 0L): Unit = {
     val cid = ptr.getName.stripSuffix(".ptr")
     if (f.exists(ptr)) {
-      val in = f.open(ptr)
-      val ver = try new Path(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      val ver = retryingTransient(s"pointer read $ptr") {
+        val in = f.open(ptr)
+        try new Path(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
+      }
       if (f.exists(ver)) f.delete(ver, true)
       f.delete(ptr, false)
     }

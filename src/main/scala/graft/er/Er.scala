@@ -205,6 +205,11 @@ object ConnectedComponents {
     * at 10M edges), not a wall-time crossover. */
   val DriverPathMaxEdges: Long = 2L * 1000 * 1000
 
+  /** Last salted-jump physical plan, captured only when the
+    * `graft.cc.capturePlan` system property is set (test hook — see the
+    * inline note at the capture site). */
+  @volatile private[er] var lastSaltedJumpPlan: String = ""
+
   /** @param edges two-column DataFrame (src, dst); integral or string ids
     * @return (id, component) where component = min id reachable — deterministic. */
   def run(edges: DataFrame, maxIter: Int = 50,
@@ -270,7 +275,8 @@ object ConnectedComponents {
         case None         => () // unsupported id type: distributed loop below
       }
     }
-    val loopParts = math.max(1L, math.min(confParts.toLong, edgeCount / 100000L + 1L)).toInt
+    val rowsPerPart = sys.props.get("graft.cc.rowsPerPartition").map(_.toLong).getOrElse(100000L)
+    val loopParts = math.max(1L, math.min(confParts.toLong, edgeCount / rowsPerPart + 1L)).toInt
     // Skew-safe pointer jumping (see the loop body) costs two extra jobs per
     // round — engage it only where rounds are expensive enough to hide the
     // floor AND label concentration can actually hurt (a key needs more rows
@@ -355,12 +361,27 @@ object ConnectedComponents {
         () => propagated.join(parents, col("component") === col("__pid"), "left")
           .select(col("id"), coalesce(col("__pcomp"), col("component")).as("component"), col("old"))
       val jumped = if (!skewSafe) plainJump() else {
-        val hotT = math.max(50000L, edgeCount / (4L * loopParts))
-        val hotVals = propagated.groupBy("component").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") >= hotT).select("component")
-          .collect().map(_.get(0)).toSeq
+        // Hot threshold = fair share OF THE TABLE BEING JOINED. The join
+        // below shuffles `propagated` (~vertex-count rows), so scaling the
+        // threshold to edgeCount mis-sizes it on dense graphs: with
+        // E > 4·parts·V the edge-derived value exceeds the whole table and
+        // no label ever classifies hot — the skew the feature exists to
+        // cure goes undetected. The census already aggregates per-label
+        // counts, so the table total is a free sum alongside it; candidates
+        // above the fixed floor ride back in the SAME action (bounded:
+        // ≤ total/50k entries), and the census is never collected whole.
+        val hotFloor = sys.props.get("graft.cc.hotFloor").map(_.toLong).getOrElse(50000L)
+        val censusRow = propagated.groupBy("component").agg(count(lit(1)).as("__n"))
+          .agg(sum("__n").as("__total"),
+            collect_list(when(col("__n") >= hotFloor,
+              struct(col("component"), col("__n")))).as("__cands"))
+          .first()
+        val propagatedRows = if (censusRow.isNullAt(0)) 0L else censusRow.getLong(0)
+        val hotT = math.max(hotFloor, propagatedRows / loopParts)
+        val hotVals = censusRow.getSeq[org.apache.spark.sql.Row](1)
+          .filter(_.getLong(1) >= hotT).map(_.get(0))
         if (verbose)
-          System.err.println(s"[cc] hot labels: ${hotVals.size} (>=$hotT rows each)")
+          System.err.println(s"[cc] hot labels: ${hotVals.size} (>=$hotT of $propagatedRows rows)")
         if (hotVals.isEmpty) plainJump() else {
           // parent row OF a hot label c = the propagated row with id == c;
           // every label is a node id present in `propagated`, so exactly one
@@ -382,12 +403,24 @@ object ConnectedComponents {
           // condition: (__salt = 0)`). pmod(xxhash64(__pid), 1) is always 0
           // but hangs off an attribute, so it survives as a genuine second
           // key pair and the shuffle is hash(component, __salt).
-          salted.join(broadcast(hotParents), col("component") === col("__hpid"), "left")
+          val saltedJump = salted
+            .join(broadcast(hotParents), col("component") === col("__hpid"), "left")
             .join(parents.withColumn("__pz", pmod(xxhash64(col("__pid")), lit(1)).cast("int")),
               col("component") === col("__pid") && col("__salt") === col("__pz"), "left")
             .select(col("id"),
               coalesce(col("__hpcomp"), col("__pcomp"), col("component")).as("component"),
               col("old"))
+          // Test hook: the salt's skew-spreading depends on Catalyst NOT
+          // folding pmod(xxhash64(__pid), 1) to a literal 0 — a future
+          // `x mod 1 -> 0` simplification rule would silently collapse the
+          // equi keys back to hash(component) with no functional failure.
+          // Publishing the physical plan (behind a debug prop; planning a
+          // throwaway copy costs real time per round) lets the spec assert
+          // the shuffle keys still carry the salt, so an optimizer upgrade
+          // trips a test instead of reinstating the straggler unnoticed.
+          if (sys.props.contains("graft.cc.capturePlan"))
+            lastSaltedJumpPlan = saltedJump.queryExecution.executedPlan.toString
+          saltedJump
         }
       }
       val next = jumped.localCheckpoint(false)
@@ -518,13 +551,32 @@ object Gazetteer {
 
   /** @param messyBlocks (block_key, messy_id); @param canonBlocks (block_key, canon_id)
     * — build both with [[Blocking.blockTable]] using *the same* predicate set
-    * applied to each side's features (canon indexes, messy searches). */
+    * applied to each side's features (canon indexes, messy searches).
+    * @param maxBlockPairs when > 0, drop block keys whose candidate
+    * contribution |messy_b| × |canon_b| exceeds the cap BEFORE the pair join
+    * — the gazetteer twin of [[Pairing.candidatePairs]]' `maxBlockSize`
+    * skew/stop-word defense: a hot predicate value (a stop token shared by
+    * thousands of records on both sides) otherwise funnels a quadratic pair
+    * set through one join key. The cap bounds the product directly, which is
+    * the actual cost term for the two-sided join. */
   def matchTables(
       messyBlocks: DataFrame, canonBlocks: DataFrame,
       messyFeatures: DataFrame, canonFeatures: DataFrame,
-      idCol: String, fields: Seq[DedupeField], threshold: Double): DataFrame = {
-    val candidates = messyBlocks
-      .join(canonBlocks.withColumnRenamed("messy_id", "canon_id"), Seq("block_key"))
+      idCol: String, fields: Seq[DedupeField], threshold: Double,
+      maxBlockPairs: Long = 0L): DataFrame = {
+    val canon = canonBlocks.withColumnRenamed("messy_id", "canon_id")
+    val (mb, cb) =
+      if (maxBlockPairs <= 0) (messyBlocks, canon)
+      else {
+        val keep = messyBlocks.groupBy("block_key").agg(count(lit(1)).as("__m"))
+          .join(canon.groupBy("block_key").agg(count(lit(1)).as("__c")), Seq("block_key"))
+          .filter(col("__m") * col("__c") <= maxBlockPairs)
+          .select("block_key")
+        (messyBlocks.join(keep, Seq("block_key"), "left_semi"),
+          canon.join(keep, Seq("block_key"), "left_semi"))
+      }
+    val candidates = mb
+      .join(cb, Seq("block_key"))
       .select("messy_id", "canon_id")
       .distinct()
     val a = messyFeatures.select(col(idCol).as("a_node_id") +: fields.map(f => col(f.name).as(s"a_${f.name}")): _*)

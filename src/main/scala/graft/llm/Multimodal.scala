@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * Header DECODE is real: [[HeaderDecoder]] parses PNG IHDR, GIF logical
   * screen, BMP info header, and JPEG SOF segments by direct byte slicing —
   * no codec libraries, pure JVM, distributed inside `mapPartitions`. PIXEL
-  * decode is real for the one codec-free container: uncompressed 24-bpp
-  * BI_RGB BMP ([[HeaderDecoder.decodePixels]] walks the padded bottom-up
-  * pixel array byte-by-byte). Compressed-codec pixel decode (JPEG/PNG
-  * entropy coding, absent libraries in this environment) remains out of
-  * scope: payloads with no recognized container magic fall back to the
+  * decode is real for the containers the bare JVM can carry: uncompressed
+  * 24-bpp BI_RGB BMP ([[HeaderDecoder.decodePixels]] walks the padded
+  * bottom-up pixel array byte-by-byte) and 8-bit RGB/RGBA non-interlaced
+  * PNG ([[PngCodec.decodePixels]] — IDAT is zlib DEFLATE, which
+  * `java.util.zip.Inflater` decodes natively; the five scanline filters are
+  * implemented from the spec). JPEG pixel decode (Huffman/arithmetic
+  * entropy coding, no JVM built-in) remains the one declared stub:
+  * payloads with no recognized container magic fall back to the
   * clearly-marked [[StubDecoder]] so the plumbing stays testable on
   * text stand-in payloads. Everything around the decode is the real 100 TB
   * shape: a typed `Dataset[MediaRow]`, `mapPartitions` so per-partition
@@ -137,6 +140,219 @@ object Multimodal {
         }
       }
       None
+    }
+  }
+
+  /** Real PNG pixel codec — no image library: PNG's IDAT is zlib DEFLATE and
+    * `java.util.zip.{Inflater, Deflater, CRC32}` ship in the JVM, so the only
+    * format-specific work is the published spec (ISO 15948): chunk layout
+    * with CRC-32 (§5.3), scanline serialization (§7.2), and the five filter
+    * types None/Sub/Up/Average/Paeth (§9.2). Scope: 8-bit truecolor
+    * (colorType 2 = RGB, 6 = RGBA), non-interlaced — the dominant PNG shape
+    * in a scraped corpus; palette/interlace/16-bit return None and fall
+    * through to the header-only path. JPEG pixel decode (arithmetic/Huffman
+    * entropy coding, no JVM built-in) remains the one declared stub. */
+  object PngCodec {
+
+    private val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def u8(b: Byte): Int = b & 0xff
+    private def be32(p: Array[Byte], i: Int): Int =
+      (u8(p(i)) << 24) | (u8(p(i + 1)) << 16) | (u8(p(i + 2)) << 8) | u8(p(i + 3))
+
+    /** Paeth predictor (§9.4): closest of left/up/up-left to a+b-c, ties
+      * broken left, up, up-left. */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(t).put(data)
+      val c = new java.util.zip.CRC32(); c.update(t); c.update(data)
+      out.putInt(c.getValue.toInt)
+      out.array()
+    }
+
+    /** Encode an 8-bit RGB(A) image as a complete PNG: IHDR/IDAT/IEND with
+      * real CRCs, per-row scanline filters, zlib-deflated pixel stream.
+      * `px(x, y, c)` supplies channel c of the pixel at (x, y) top-down;
+      * `filterForRow` picks the filter type (0-4) per row so fixtures can
+      * exercise every unfilter path in [[decodePixels]]. */
+    def encode(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
+               filterForRow: Int => Int = _ => 0): Array[Byte] = {
+      require(channels == 3 || channels == 4, s"RGB/RGBA only, got $channels channels")
+      require(w > 0 && h > 0, s"bad dims ${w}x$h")
+      val rowLen = w * channels
+      val raw = new Array[Byte]((1 + rowLen) * h)
+      val cur = new Array[Int](rowLen)
+      val prior = new Array[Int](rowLen)
+      var y = 0
+      while (y < h) {
+        var i = 0
+        while (i < rowLen) { cur(i) = px(i / channels, y, i % channels) & 0xff; i += 1 }
+        val ft = math.floorMod(filterForRow(y), 5)
+        val ro = y * (1 + rowLen)
+        raw(ro) = ft.toByte
+        i = 0
+        while (i < rowLen) {
+          val a = if (i >= channels) cur(i - channels) else 0
+          val b = if (y > 0) prior(i) else 0
+          val c = if (y > 0 && i >= channels) prior(i - channels) else 0
+          val v = ft match {
+            case 0 => cur(i)
+            case 1 => cur(i) - a
+            case 2 => cur(i) - b
+            case 3 => cur(i) - (a + b) / 2
+            case _ => cur(i) - paeth(a, b, c)
+          }
+          raw(ro + 1 + i) = (v & 0xff).toByte
+          i += 1
+        }
+        Array.copy(cur, 0, prior, 0, rowLen)
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      val zipped = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      try {
+        defl.setInput(raw); defl.finish()
+        val buf = new Array[Byte](8192)
+        while (!defl.finished()) zipped.write(buf, 0, defl.deflate(buf))
+      } finally defl.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte)
+        .put((if (channels == 3) 2 else 6).toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      Sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", zipped.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Decoded pixels: dims + channel count + the order-sensitive checksum
+      * Σ (k+1)·(C1 + 2·C2 + 3·C3 [+ 4·C4]) over top-down row-major pixel
+      * index k — same discipline as the BMP walker: any stride, row-order,
+      * filter, or channel-order bug changes the value. */
+    final case class Decoded(width: Int, height: Int, channels: Int, checksum: Long)
+
+    /** Full PNG pixel decode: chunk walk with CRC-32 verification, zlib
+      * inflate of the concatenated IDAT stream, per-row unfilter of all five
+      * filter types. None (never throws) for anything malformed, truncated,
+      * checksum-corrupt, or outside the 8-bit RGB/RGBA non-interlaced scope. */
+    def decodePixels(p: Array[Byte]): Option[Decoded] = {
+      if (p.length < 45 || !p.startsWith(Sig)) return None
+      var i = 8
+      var w = 0; var h = 0; var channels = 0; var seenIhdr = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var end = false
+      while (!end && i + 12 <= p.length) {
+        val len = be32(p, i)
+        if (len < 0 || i + 12 + len > p.length) return None
+        val crc = new java.util.zip.CRC32(); crc.update(p, i + 4, 4 + len)
+        if (crc.getValue.toInt != be32(p, i + 8 + len)) return None
+        new String(p, i + 4, 4, "US-ASCII") match {
+          case "IHDR" =>
+            if (len != 13 || seenIhdr) return None
+            w = be32(p, i + 8); h = be32(p, i + 12)
+            val (depth, color) = (u8(p(i + 16)), u8(p(i + 17)))
+            val (comp, filt, inter) = (u8(p(i + 18)), u8(p(i + 19)), u8(p(i + 20)))
+            if (depth != 8 || (color != 2 && color != 6) ||
+                comp != 0 || filt != 0 || inter != 0) return None
+            // size guard: a hostile header must not provision gigabytes
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+            channels = if (color == 2) 3 else 4
+            seenIhdr = true
+          case "IDAT" => if (!seenIhdr) return None else idat.write(p, i + 8, len)
+          case "IEND" => end = true
+          case _      => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      if (!seenIhdr || !end || idat.size == 0) return None
+      val rowLen = w * channels
+      val raw = new Array[Byte]((1 + rowLen) * h)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          off += n
+        }
+        if (off != raw.length) return None
+        // drive the inflater over the zlib trailer so the Adler-32 is
+        // actually verified (DataFormatException -> None), and reject
+        // streams carrying MORE pixel data than the header promised
+        if (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0) return None
+        if (!inf.finished()) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      // unfilter in place, top-down — each row's predictors read the
+      // already-reconstructed bytes of this and the prior row
+      val stride = 1 + rowLen
+      var y = 0
+      while (y < h) {
+        val ro = y * stride
+        val ft = u8(raw(ro))
+        if (ft > 4) return None
+        var j = 0
+        while (j < rowLen) {
+          val x = u8(raw(ro + 1 + j))
+          val a = if (j >= channels) u8(raw(ro + 1 + j - channels)) else 0
+          val b = if (y > 0) u8(raw(ro + 1 + j - stride)) else 0
+          val c = if (y > 0 && j >= channels) u8(raw(ro + 1 + j - channels - stride)) else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case _ => x + paeth(a, b, c)
+          }
+          raw(ro + 1 + j) = (v & 0xff).toByte
+          j += 1
+        }
+        y += 1
+      }
+      var cs = 0L
+      var k = 0L
+      y = 0
+      while (y < h) {
+        val ro = y * stride
+        var x = 0
+        while (x < w) {
+          k += 1
+          var c = 0
+          while (c < channels) {
+            cs += k * (c + 1).toLong * u8(raw(ro + 1 + x * channels + c))
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(w, h, channels, cs))
+    }
+  }
+
+  /** PNG pixel decode output ([[PngCodec.decodePixels]]): `format` is `png`
+    * on success, `unknown` otherwise (checksum -1). */
+  final case class PngPixelMeta(id: Long, format: String, width: Int, height: Int,
+                                channels: Int, pix_checksum: Long)
+
+  /** Distributed PNG pixel extraction — the same mapPartitions shape as
+    * [[extractPixels]], with the full inflate + unfilter walk per payload. */
+  def extractPngPixels(rows: Dataset[MediaRow]): Dataset[PngPixelMeta] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        PngCodec.decodePixels(r.payload) match {
+          case Some(d) => PngPixelMeta(r.id, "png", d.width, d.height, d.channels, d.checksum)
+          case None    => PngPixelMeta(r.id, "unknown", 0, 0, 0, -1L)
+        }
+      }
     }
   }
 

@@ -762,6 +762,35 @@ object LlmQueries {
       Multimodal.extractPixels(media).toDF()
         .select(col("id"), col("format"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("pix_checksum"))
+    }),
+
+    // REAL PNG pixel decode, oracle-checked per pixel: encode a complete PNG
+    // per document (real zlib DEFLATE via java.util.zip.Deflater, real
+    // chunk CRCs, scanline filter type cycling (doc_id + y) % 5 so every
+    // unfilter path — None/Sub/Up/Average/Paeth — is exercised across the
+    // corpus), then decode it back through the full inflate + unfilter walk.
+    // The oracle recomputes the checksum in closed form from doc_id without
+    // touching a byte, so the pixels must survive the real compression
+    // round-trip bit-exactly; a known-good external fixture in
+    // MultimodalSpec rules out a symmetric encoder/decoder filter bug.
+    "q_multimodal_png" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { d =>
+        val w = (1 + d % 5).toInt
+        val h = (1 + d % 4).toInt
+        Multimodal.MediaRow(d, Multimodal.PngCodec.encode(w, h, 3,
+          (x, y, c) => c match {
+            case 0 => ((d + 3L * x + 7L * y) % 256).toInt
+            case 1 => ((2L * d + 5L * x + y) % 256).toInt
+            case _ => ((x.toLong * y + d) % 256).toInt
+          },
+          y => ((d + y) % 5).toInt))
+      }
+      Multimodal.extractPngPixels(media).toDF()
+        .select(col("id"), col("format"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("pix_checksum"))
     })
   )
 
@@ -1466,6 +1495,26 @@ object LlmQueries {
         |    LATERAL (SELECT unnest(generate_series(0, CAST(d.h AS INT) - 1)) AS y) ys)
         |SELECT doc_id AS id, 'bmp' AS format, w AS width, h AS height,
         |  CAST(sum(t) AS BIGINT) AS pix_checksum
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // closed-form twin of the PNG per-pixel checksum: the Spark side must
+    // round-trip these channel values through a real zlib-deflated, CRC'd,
+    // per-row-filtered PNG and the inflate + unfilter walk to land on the
+    // same sums — the oracle never touches a byte
+    "q_multimodal_png" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 1 + doc_id % 5 AS w, 1 + doc_id % 4 AS h FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (ys.y * d.w + xs.x + 1) * (
+        |        ((d.doc_id + 3 * xs.x + 7 * ys.y) % 256)
+        |      + 2 * ((2 * d.doc_id + 5 * xs.x + ys.y) % 256)
+        |      + 3 * ((xs.x * ys.y + d.doc_id) % 256)) AS t
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(d.w AS INT) - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(d.h AS INT) - 1)) AS y) ys)
+        |SELECT doc_id AS id, 'png' AS format, w AS width, h AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(sum(t) AS BIGINT) AS pix_checksum
         |FROM px GROUP BY doc_id, w, h""".stripMargin
   )
 

@@ -87,6 +87,50 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.cc.skewSafeMinEdges")
   }
 
+  test("salted hot-label jump ENGAGES (lowered floor) and its shuffle keys carry the salt") {
+    // Regression lock for the de-skew plan shape: correct skew-spreading
+    // depends on Catalyst NOT simplifying pmod(xxhash64(__pid), 1) to a
+    // foldable 0 — an optimizer upgrade adding `x mod 1 -> 0` would rewrite
+    // `__salt = __pz` into a post-join condition, drop the salt from the
+    // equi keys, and silently reinstate the one-task straggler with no
+    // functional failure. Lowering the hot floor makes the star's label
+    // actually classify hot on a toy graph (at the default 50k floor the
+    // skew-safe test above only covers the census + empty-hot fallback), and
+    // the captured physical plan must show the salt inside BOTH the join
+    // keys and the exchange partitioning — not demoted to a filter.
+    sys.props("graft.cc.skewSafeMinEdges") = "0"
+    sys.props("graft.cc.hotFloor") = "10"
+    // raise loopParts on the toy graph (fair-share = total/loopParts would
+    // otherwise equal the whole table at loopParts=1 and nothing is ever hot)
+    sys.props("graft.cc.rowsPerPartition") = "50"
+    sys.props("graft.cc.capturePlan") = "1"
+    try {
+      ConnectedComponents.lastSaltedJumpPlan = ""
+      val star = (2L to 400L).map(i => (1L, i)) ++ Seq((500L, 501L), (501L, 502L))
+      assert(sparkCC(star, distributed = true) === bruteForce(star))
+      val plan = ConnectedComponents.lastSaltedJumpPlan
+      assert(plan.nonEmpty, "salted-jump plan was never captured: hot branch did not engage")
+      // the shuffled join's equi keys must pair (component, __salt) with
+      // (__pid, __pz) — two key pairs, salt as a genuine key on both sides
+      assert("(?s)Join [^\n]*__salt#\\d+[^\n]*__pz#\\d+".r.findFirstIn(plan).isDefined,
+        s"salt/__pz not in the join keys — equi keys collapsed?\n$plan")
+      // and the exchange feeding it must hash-partition on the salt too
+      assert("hashpartitioning\\([^)]*__salt#\\d+".r.findFirstIn(plan).isDefined,
+        s"__salt missing from hashpartitioning — shuffle collapsed to hash(component)\n$plan")
+      // the failure mode: salt demoted out of the equi keys into a residual
+      // condition `(__salt = 0)` (how the collapse manifested when lit(0)
+      // was constant-propagated)
+      assert("\\(__salt#\\d+ = 0\\)".r.findFirstIn(plan).isEmpty,
+        s"salt was folded into a post-join condition — skew spreading is dead\n$plan")
+    } finally {
+      sys.props.remove("graft.cc.skewSafeMinEdges")
+      sys.props.remove("graft.cc.hotFloor")
+      sys.props.remove("graft.cc.rowsPerPartition")
+      sys.props.remove("graft.cc.capturePlan")
+      ConnectedComponents.lastSaltedJumpPlan = ""
+    }
+  }
+
   test("distributed path on a 2000-node random graph matches brute force") {
     val rnd = new Random(99)
     val n = 2000

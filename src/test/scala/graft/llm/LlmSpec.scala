@@ -720,6 +720,91 @@ class LlmSpec extends AnyFunSuite {
     assert(decodePixels(minH ++ rowY1 ++ rowY0) === None)
   }
 
+  test("PNG codec round-trip: every filter type, RGB and RGBA, checksum matches closed form") {
+    import Multimodal.PngCodec
+    def closedForm(w: Int, h: Int, ch: Int, px: (Int, Int, Int) => Int): Long = {
+      var cs = 0L; var k = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        k += 1
+        for (c <- 0 until ch) cs += k * (c + 1) * (px(x, y, c) & 0xff)
+      }
+      cs
+    }
+    // each single-filter image isolates one unfilter path end-to-end
+    for (ft <- 0 to 4) {
+      val px = (x: Int, y: Int, c: Int) => (31 * x + 17 * y + 53 * c + ft) % 256
+      val img = PngCodec.encode(6, 5, 3, px, _ => ft)
+      assert(PngCodec.decodePixels(img) ===
+        Some(PngCodec.Decoded(6, 5, 3, closedForm(6, 5, 3, px))), s"filter $ft")
+    }
+    // RGBA with mixed filters per row
+    val px4 = (x: Int, y: Int, c: Int) => (7 * x + 11 * y + 3 * c + 1) % 256
+    val rgba = PngCodec.encode(4, 7, 4, px4, y => y % 5)
+    assert(PngCodec.decodePixels(rgba) === Some(PngCodec.Decoded(4, 7, 4, closedForm(4, 7, 4, px4))))
+    // 1x1 edge
+    val one = PngCodec.encode(1, 1, 3, (_, _, c) => c * 80, _ => 4)
+    assert(PngCodec.decodePixels(one) === Some(PngCodec.Decoded(1, 1, 3, 1L * 0 + 2 * 80 + 3 * 160)))
+  }
+
+  test("PNG decoder agrees with an EXTERNAL encoder (Python zlib fixtures, all five filters)") {
+    import Multimodal.PngCodec
+    def hexBytes(hex: String): Array[Byte] =
+      hex.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // Generated by CPython's zlib + an independently written filter pass
+    // (test fixture provenance: stdlib-only script in this test's comment
+    // history): a shared symmetric bug between PngCodec.encode and
+    // .decodePixels cannot survive this — the DEFLATE stream and the
+    // filtered scanlines here were produced by foreign code.
+    // F1: 5x4 RGB, px = (11x + 23y + 41c + 7) % 256, row filters [4,0,1,2]
+    val f1 = hexBytes(
+      "89504e470d0a1a0a0000000d4948445200000005000000040802000000c95162170000002849444154789c6361" +
+      "3788e446020c72ee059a41d526b16df61913bd8ae7309ac6b523cb3389a302004bd309865584ef49000000004945" +
+      "4e44ae426082")
+    assert(Multimodal.PngCodec.decodePixels(f1) === Some(PngCodec.Decoded(5, 4, 3, 168780L)))
+    // F2: 3x5 RGBA, px = (97x + 13y + 29c + 3) % 256, row filters [0,1,2,3,4]
+    val f2 = hexBytes(
+      "89504e470d0a1a0a0000000d4948445200000003000000050806000000807156a20000002d49444154789c6360" +
+      "56b08d4a699cb7fbe8a3ff328c02ba5ee98950c0c48b049865b42cddcdc160fb76166419004f9e0e7152299d5b00" +
+      "00000049454e44ae426082")
+    assert(Multimodal.PngCodec.decodePixels(f2) === Some(PngCodec.Decoded(3, 5, 4, 150040L)))
+    // and OUR encoder reproduces the same pixels under the same parameters
+    val ours = PngCodec.encode(5, 4, 3,
+      (x, y, c) => (11 * x + 23 * y + 41 * c + 7) % 256, y => (y + 4) % 5)
+    assert(PngCodec.decodePixels(ours) === Some(PngCodec.Decoded(5, 4, 3, 168780L)))
+  }
+
+  test("PNG decoder rejects corruption: bad chunk CRC, bad Adler-32, truncation, bad scope") {
+    import Multimodal.PngCodec
+    val good = PngCodec.encode(3, 3, 3, (x, y, c) => x + y + c, y => y % 5)
+    assert(PngCodec.decodePixels(good).isDefined)
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // flip one IDAT payload byte -> chunk CRC mismatch -> None (never throws)
+    val crcBad = good.clone(); crcBad(45) = (crcBad(45) ^ 0x41).toByte
+    assert(PngCodec.decodePixels(crcBad) === None)
+    // corrupt the zlib Adler-32 (last 4 IDAT data bytes) but REPAIR the chunk
+    // CRC: the chunk walk passes, the inflater's checksum must still catch it
+    val idatLen = ((good(33) & 0xff) << 24) | ((good(34) & 0xff) << 16) |
+      ((good(35) & 0xff) << 8) | (good(36) & 0xff)
+    val adlerBad = good.clone()
+    val adlerPos = 41 + idatLen - 4 // IDAT data starts at 41 (sig 8 + IHDR 25 + len/type 8)
+    adlerBad(adlerPos) = (adlerBad(adlerPos) ^ 0x7f).toByte
+    val crc = new java.util.zip.CRC32(); crc.update(adlerBad, 37, 4 + idatLen)
+    System.arraycopy(be32(crc.getValue), 0, adlerBad, 41 + idatLen, 4)
+    assert(PngCodec.decodePixels(adlerBad) === None)
+    // truncation mid-IDAT
+    assert(PngCodec.decodePixels(good.take(good.length - 20)) === None)
+    // out-of-scope shapes: palette color type, 16-bit depth (CRC repaired)
+    for ((off, v) <- Seq((25, 3.toByte), (24, 16.toByte))) {
+      val bad = good.clone(); bad(off) = v
+      val c2 = new java.util.zip.CRC32(); c2.update(bad, 12, 17)
+      System.arraycopy(be32(c2.getValue), 0, bad, 29, 4)
+      assert(PngCodec.decodePixels(bad) === None, s"offset $off")
+    }
+    // garbage and empty
+    assert(PngCodec.decodePixels("not a png at all, just text".getBytes("UTF-8")) === None)
+    assert(PngCodec.decodePixels(Array.emptyByteArray) === None)
+  }
+
   test("header decoder never throws on arbitrary bytes (fuzz with magic prefixes)") {
     import Multimodal.HeaderDecoder.decode
     val magics = Seq(
