@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * bottom-up pixel array byte-by-byte) and 8-bit RGB/RGBA non-interlaced
   * PNG ([[PngCodec.decodePixels]] — IDAT is zlib DEFLATE, which
   * `java.util.zip.Inflater` decodes natively; the five scanline filters are
-  * implemented from the spec). JPEG pixel decode (Huffman/arithmetic
-  * entropy coding, no JVM built-in) remains the one declared stub:
-  * payloads with no recognized container magic fall back to the
+  * implemented from the spec), and baseline 8-bit 4:4:4 JPEG
+  * ([[JpegCodec.decodePixels]] — canonical Huffman + dequant + IDCT are
+  * plain arithmetic; the oracle proves bit-exactness on DC-only blocks,
+  * where Annex-K quantization is lossless). Progressive/arithmetic JPEG
+  * and payloads with no recognized container magic fall back to the
   * clearly-marked [[StubDecoder]] so the plumbing stays testable on
   * text stand-in payloads. Everything around the decode is the real 100 TB
   * shape: a typed `Dataset[MediaRow]`, `mapPartitions` so per-partition
@@ -351,6 +353,26 @@ object Multimodal {
         PngCodec.decodePixels(r.payload) match {
           case Some(d) => PngPixelMeta(r.id, "png", d.width, d.height, d.channels, d.checksum)
           case None    => PngPixelMeta(r.id, "unknown", 0, 0, 0, -1L)
+        }
+      }
+    }
+  }
+
+  /** JPEG pixel decode output ([[JpegCodec.decodePixels]]): `format` is
+    * `jpeg` on success, `unknown` otherwise (checksum -1). */
+  final case class JpegPixelMeta(id: Long, format: String, width: Int, height: Int,
+                                 channels: Int, pix_checksum: Long)
+
+  /** Distributed JPEG pixel extraction — the same mapPartitions shape as
+    * [[extractPixels]], with the full entropy-decode + IDCT walk per
+    * payload. */
+  def extractJpegPixels(rows: Dataset[MediaRow]): Dataset[JpegPixelMeta] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        JpegCodec.decodePixels(r.payload) match {
+          case Some(d) => JpegPixelMeta(r.id, "jpeg", d.width, d.height, d.channels, d.checksum)
+          case None    => JpegPixelMeta(r.id, "unknown", 0, 0, 0, -1L)
         }
       }
     }

@@ -791,6 +791,31 @@ object LlmQueries {
         .select(col("id"), col("format"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"), col("pix_checksum"))
+    }),
+
+    // REAL baseline-JPEG pixel decode, oracle-checked bit-exactly despite
+    // JPEG being lossy: each 8x8 block is constant at an even offset from
+    // 128, so its DCT is DC-only and the Annex-K luma DC quantizer (16)
+    // divides 8*(v-128) exactly — quantization is lossless on this family
+    // while the full machinery (forward DCT, per-block DC-delta Huffman,
+    // EOB codes, byte stuffing, 3-component YCbCr scan, inverse DCT, color
+    // conversion) runs for real. The oracle recomputes the checksum in
+    // closed form from doc_id; JpegSpec's hand-derived fixture and
+    // independent-pipeline test cover the general AC path.
+    "q_multimodal_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { d =>
+        val w = 8 * (1 + d % 3).toInt
+        val h = 8 * (1 + d % 2).toInt
+        val v = (x: Int, y: Int) =>
+          (128 + 2 * (((d + 3L * (x / 8) + 5L * (y / 8)) % 64) - 32)).toInt
+        Multimodal.MediaRow(d, graft.llm.JpegCodec.encode(w, h, 3, (x, y, _) => v(x, y)))
+      }
+      Multimodal.extractJpegPixels(media).toDF()
+        .select(col("id"), col("format"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("pix_checksum"))
     })
   )
 
@@ -1514,6 +1539,25 @@ object LlmQueries {
         |    LATERAL (SELECT unnest(generate_series(0, CAST(d.w AS INT) - 1)) AS x) xs,
         |    LATERAL (SELECT unnest(generate_series(0, CAST(d.h AS INT) - 1)) AS y) ys)
         |SELECT doc_id AS id, 'png' AS format, w AS width, h AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(sum(t) AS BIGINT) AS pix_checksum
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // closed-form twin of the JPEG checksum: per-block-constant pixel value
+    // v = 128 + 2*(((doc_id + 3*bx + 5*by) % 64) - 32) decodes bit-exactly
+    // (DC-only blocks, lossless under the Annex-K DC quantizer), R=G=B=v so
+    // the channel-weighted sum is 6v — the oracle never encodes a byte
+    "q_multimodal_jpeg" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (ys.y * d.w + xs.x + 1) * 6 *
+        |      (128 + 2 * (((d.doc_id + 3 * (xs.x // 8) + 5 * (ys.y // 8)) % 64) - 32)) AS t
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(d.w AS INT) - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(d.h AS INT) - 1)) AS y) ys)
+        |SELECT doc_id AS id, 'jpeg' AS format, w AS width, h AS height,
         |  CAST(3 AS BIGINT) AS channels, CAST(sum(t) AS BIGINT) AS pix_checksum
         |FROM px GROUP BY doc_id, w, h""".stripMargin
   )
