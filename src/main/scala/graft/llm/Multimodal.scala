@@ -378,6 +378,47 @@ object Multimodal {
     }
   }
 
+  /** GIF pixel decode output ([[GifCodec.decodePixels]]): `format` is
+    * `gif` on success, `unknown` otherwise (checksum -1). */
+  final case class GifPixelMeta(id: Long, format: String, width: Int, height: Int,
+                                channels: Int, pix_checksum: Long)
+
+  /** Distributed GIF pixel extraction — the same mapPartitions shape as
+    * [[extractPixels]], with the full LZW + palette walk per payload. */
+  def extractGifPixels(rows: Dataset[MediaRow]): Dataset[GifPixelMeta] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        GifCodec.decodePixels(r.payload) match {
+          case Some(d) => GifPixelMeta(r.id, "gif", d.width, d.height, d.channels, d.checksum)
+          case None    => GifPixelMeta(r.id, "unknown", 0, 0, 0, -1L)
+        }
+      }
+    }
+  }
+
+  /** WAV/PCM decode output ([[WavCodec.decode]]): `format` is `wav` on
+    * success, `unknown` otherwise (checksum -1). The audio modality rides
+    * the same opaque-binary + mapPartitions plumbing as images. */
+  final case class AudioMeta(id: Long, format: String, sample_rate: Int,
+                             channels: Int, bits: Int, frames: Long,
+                             pcm_checksum: Long)
+
+  /** Distributed PCM audio extraction — chunk walk + sample checksum per
+    * payload, the audio twin of the pixel extractors. */
+  def extractAudio(rows: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        WavCodec.decode(r.payload) match {
+          case Some(d) =>
+            AudioMeta(r.id, "wav", d.sampleRate, d.channels, d.bits, d.frames, d.checksum)
+          case None => AudioMeta(r.id, "unknown", 0, 0, 0, 0L, -1L)
+        }
+      }
+    }
+  }
+
   /** The clearly-marked PIXEL-decode stand-in for payloads with no known
     * container magic (the testdata's text payloads): derives dimensions
     * deterministically from size/checksum so the plumbing stays

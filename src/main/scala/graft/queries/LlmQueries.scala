@@ -816,6 +816,56 @@ object LlmQueries {
         .select(col("id"), col("format"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"), col("pix_checksum"))
+    }),
+
+    // REAL GIF pixel decode, oracle-checked per pixel: LZW is lossless, so
+    // any palette-indexed image must round-trip bit-exactly — the per-doc
+    // image runs real LZW compression (dictionary growth, width bumps) and
+    // a graphic-control extension the decoder must skip structurally. Odd
+    // docs are written INTERLACED, so the four-pass row reorder is under
+    // oracle too (the checksum is over presentation order, where the
+    // closed form is interlace-invariant only because the decoder
+    // de-interlaces correctly... the pixel function depends on y, so a
+    // pass-order bug changes the checksum).
+    "q_multimodal_gif" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val pal = Array.tabulate(8)(i => (i * 31 % 256, i * 57 % 256, i * 11 % 256))
+      val media = docs.map { d =>
+        val w = (3 + d % 14).toInt
+        val h = (3 + d % 11).toInt
+        Multimodal.MediaRow(d, graft.llm.GifCodec.encode(w, h, pal,
+          (x, y) => ((d + 3L * x + 5L * y) % 8).toInt, interlaced = d % 2 == 1))
+      }
+      Multimodal.extractGifPixels(media).toDF()
+        .select(col("id"), col("format"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("pix_checksum"))
+    }),
+
+    // REAL audio decode: WAV/PCM is uncompressed, so the sample checksum is
+    // exact by construction — what the oracle locks is the RIFF chunk walk,
+    // 16-bit-signed vs 8-bit-unsigned handling, and channel interleave
+    // (even docs are 16-bit stereo with signed samples, odd docs 8-bit
+    // mono), per document from doc_id alone.
+    "q_multimodal_wav" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { d =>
+        val frames = (40 + d % 60).toInt
+        val payload =
+          if (d % 2 == 0)
+            graft.llm.WavCodec.encode(16000, 2, 16, frames,
+              (f, c) => (((d * 31 + f * 7 + c * 13) % 65536) - 32768).toInt)
+          else
+            graft.llm.WavCodec.encode(8000, 1, 8, frames, (f, _) => ((d * 31 + f * 7) % 256).toInt)
+        Multimodal.MediaRow(d, payload)
+      }
+      Multimodal.extractAudio(media).toDF()
+        .select(col("id"), col("format"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"), col("frames"), col("pcm_checksum"))
     })
   )
 
@@ -1559,7 +1609,48 @@ object LlmQueries {
         |    LATERAL (SELECT unnest(generate_series(0, CAST(d.h AS INT) - 1)) AS y) ys)
         |SELECT doc_id AS id, 'jpeg' AS format, w AS width, h AS height,
         |  CAST(3 AS BIGINT) AS channels, CAST(sum(t) AS BIGINT) AS pix_checksum
-        |FROM px GROUP BY doc_id, w, h""".stripMargin
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // closed-form twin of the GIF checksum: palette entry i =
+    // (31i%256, 57i%256, 11i%256), pixel index = (doc_id+3x+5y)%8 — LZW is
+    // lossless so the decode must land on these values exactly, through
+    // real compression and (odd docs) the interlaced row reorder
+    "q_multimodal_gif" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 3 + doc_id % 14 AS w, 3 + doc_id % 11 AS h FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (ys.y * d.w + xs.x + 1) * (
+        |        ((d.doc_id + 3 * xs.x + 5 * ys.y) % 8) * 31 % 256
+        |      + 2 * (((d.doc_id + 3 * xs.x + 5 * ys.y) % 8) * 57 % 256)
+        |      + 3 * (((d.doc_id + 3 * xs.x + 5 * ys.y) % 8) * 11 % 256)) AS t
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(d.w AS INT) - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(d.h AS INT) - 1)) AS y) ys)
+        |SELECT doc_id AS id, 'gif' AS format, w AS width, h AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(sum(t) AS BIGINT) AS pix_checksum
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // closed-form twin of the PCM checksum: Σ frame·(c+1)·s over 1-based
+    // frames — 16-bit docs use the signed value ((...)%65536)-32768, 8-bit
+    // docs the raw byte, exactly what a correct sign/interleave walk yields
+    "q_multimodal_wav" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 40 + doc_id % 60 AS frames, doc_id % 2 AS odd FROM documents),
+        |samp AS (
+        |  SELECT d.doc_id, d.frames, d.odd,
+        |    CASE WHEN d.odd = 0 THEN
+        |      (fs.f + 1) * (1 * (((d.doc_id * 31 + fs.f * 7) % 65536) - 32768)
+        |                  + 2 * (((d.doc_id * 31 + fs.f * 7 + 13) % 65536) - 32768))
+        |    ELSE (fs.f + 1) * ((d.doc_id * 31 + fs.f * 7) % 256) END AS t
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(d.frames AS INT) - 1)) AS f) fs)
+        |SELECT doc_id AS id, 'wav' AS format,
+        |  CAST(CASE WHEN odd = 0 THEN 16000 ELSE 8000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN odd = 0 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN odd = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+        |  CAST(frames AS BIGINT) AS frames, CAST(sum(t) AS BIGINT) AS pcm_checksum
+        |FROM samp GROUP BY doc_id, odd, frames""".stripMargin
   )
 
   // -------------------------------------------------------------------
