@@ -175,12 +175,17 @@ object ScaleGraph {
       (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false, "{}")
     else {
       System.setProperty("graft.pr.broadcastMaxNodes", "0")
+      // pin per-round cuts for the base run: the production default is the
+      // cadence the r19 sweep chose (k=2), and the sweep's "1" row must
+      // actually measure k=1
+      System.setProperty("graft.pr.checkpointEvery", "1")
       val (pSOut, pSSec, pSStr, pSLoad) =
         bestOf("pr_shuffle") {
           val out = Analytics.pageRank(edges, prIters).localCheckpoint(true)
           out.count()
           out
         }
+      System.clearProperty("graft.pr.checkpointEvery")
       // checkpoint-cadence probe (round-18 advice #7): the shuffle path cuts
       // lineage every round — 9 materializations over 10 rounds at this node
       // count. Sparser cuts (k rounds composed into one job) trade
