@@ -319,28 +319,51 @@ object JpegCodec {
       for (c <- 0 until channels) {
         val pl = planes(c)
         val q = qFor(c)
-        // forward DCT (A.3.3) of the level-shifted block, then quantize
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var s = 0.0
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                s += (pl(bx * 8 + x, by * 8 + y) - 128) * Cos(v)(x) * Cos(u)(y)
-                x += 1
-              }
-              y += 1
-            }
-            val cu = if (u == 0) InvSqrt2 else 1.0
-            val cv = if (v == 0) InvSqrt2 else 1.0
-            val n = u * 8 + v
-            coef(n) = math.round(0.25 * cu * cv * s / q(n)).toInt
-            v += 1
+        // constant-block fast path: flat regions (backgrounds, padded
+        // edges, synthetic fixtures) are DC-only analytically — F(0,0) =
+        // 8*(v-128), every AC exactly 0 — so the 4096-multiply DCT reduces
+        // to one division. Even offsets from 128 land off every rounding
+        // boundary, so the shortcut is bit-identical to the general path
+        // there (odd offsets sit ON a .5 boundary where either rounding is
+        // a valid quantizer — the decoder sees whatever was written).
+        val v00 = pl(bx * 8, by * 8)
+        var flat = true
+        var fy = 0
+        while (flat && fy < 8) {
+          var fx = 0
+          while (flat && fx < 8) {
+            if (pl(bx * 8 + fx, by * 8 + fy) != v00) flat = false
+            fx += 1
           }
-          u += 1
+          fy += 1
+        }
+        if (flat) {
+          java.util.Arrays.fill(coef, 0)
+          coef(0) = math.round(8.0 * (v00 - 128) / q(0)).toInt
+        } else {
+          // forward DCT (A.3.3) of the level-shifted block, then quantize
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0.0
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  s += (pl(bx * 8 + x, by * 8 + y) - 128) * Cos(v)(x) * Cos(u)(y)
+                  x += 1
+                }
+                y += 1
+              }
+              val cu = if (u == 0) InvSqrt2 else 1.0
+              val cv = if (v == 0) InvSqrt2 else 1.0
+              val n = u * 8 + v
+              coef(n) = math.round(0.25 * cu * cv * s / q(n)).toInt
+              v += 1
+            }
+            u += 1
+          }
         }
         val tsel = if (c == 0) 0 else 1
         // DC delta

@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESSES = ["graft.ScaleBench", "graft.ScaleJoins", "graft.ScaleAnn",
              "graft.ScaleZOrder", "graft.ScaleBuckets", "graft.ScaleStream",
              "graft.ScaleDecontam", "graft.ScaleGraph", "graft.ScaleFlagship",
-             "graft.ScaleEr"]
+             "graft.ScaleEr", "graft.ScaleMultimodal"]
 
 
 def loadavg():
@@ -99,6 +99,8 @@ PRIMARY = {
     "scale_flagship": lambda r: r["total_sec"],
     "scale_er": lambda r: (r["gaz_nogate_sec"] + r["gaz_gated_sec"]
                            + r["pairs_nogate_sec"] + r["pairs_gated_sec"]),
+    "scale_multimodal": lambda r: (r["png"]["decode_sec"] + r["gif"]["decode_sec"]
+                                   + r["jpeg"]["decode_sec"] + r["wav"]["decode_sec"]),
 }
 
 
@@ -293,6 +295,19 @@ def table(merged):
              f"{e['pairs_nogate_sec']:.1f}s / {e['pairs_gated_sec']:.1f}s "
              f"({e['pairs_nogate']:,} -> {e['pairs_gated']:,} pairs)",
              f"{st['pairs_nogate']:.2f} -> {st['pairs_gated']:.2f}"),
+        ]
+    if "scale_multimodal" in merged:
+        m = merged["scale_multimodal"]
+        fam = " / ".join(
+            f"{f} {m[f]['decode_sec']:.1f}s = {m[f]['rows_per_sec']:,}/s "
+            f"({m[f]['mb_per_sec']:.0f} MB/s)"
+            for f in ("png", "gif", "jpeg", "wav"))
+        rows += [
+            ("Multimodal decode pass (full pixel/PCM walk per payload)",
+             f"{m['images_per_format']:,} payloads per format, "
+             f"{sum(m[f]['mb'] for f in ('png', 'gif', 'jpeg', 'wav')):,.0f} MB total",
+             fam,
+             f"{max(m[f]['straggler'] for f in ('png', 'gif', 'jpeg', 'wav')):.2f}"),
         ]
     if "scale_flagship" in merged:
         fl = merged["scale_flagship"]
@@ -491,6 +506,7 @@ def main():
             # the input-size parameters (NOT derived measurements like task
             # counts, which vary with AQE).
             INPUT_FIELDS = ("copies", "docs", "events", "users", "vectors",
+                            "images_per_format",
                             "n_lists", "queries", "k", "rows", "buckets",
                             "pq_rerank_n", "bench_docs", "gram_n", "min_hits",
                             "nodes_param", "pr_iters", "edges_param")
