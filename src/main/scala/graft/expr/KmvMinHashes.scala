@@ -55,10 +55,19 @@ case class KmvMinHashes(
     new java.util.TreeSet[String]()
 
   private def md5hex(v: UTF8String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(v.getBytes)
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    // hot path: one digest + hex per input row. The digest instance is
+    // thread-local (MessageDigest is stateful/not thread-safe; getInstance
+    // per row was measured as a large share of the aggregate's CPU), and
+    // the hex encoding is a table lookup instead of per-byte format calls.
+    val d = KmvMinHashes.digest.get().digest(v.getBytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = KmvMinHashes.hexChars((d(i) & 0xf0) >>> 4)
+      out(2 * i + 1) = KmvMinHashes.hexChars(d(i) & 0x0f)
+      i += 1
+    }
+    new String(out)
   }
 
   override def update(buf: java.util.TreeSet[String], input: InternalRow): java.util.TreeSet[String] = {
@@ -112,6 +121,16 @@ case class KmvMinHashes(
 }
 
 object KmvMinHashes {
+
+  private[expr] val hexChars = "0123456789abcdef".toCharArray
+
+  private[expr] val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.reset()
+      d
+    }
+  }
 
   /** Column wrapper: the k smallest md5 hex digests of `c`'s distinct values. */
   def apply(c: Column, k: Int): Column =

@@ -426,16 +426,39 @@ object Multimodal {
     * [[extractMeta]]'s partition loop instead. */
   object StubDecoder {
     def decode(payload: Array[Byte]): (Int, Int) = {
-      val checksum = payload.foldLeft(0L)((a, b) => a + (b & 0xff)) % 997L
+      val checksum = byteSum997(payload)
       val width = 64 + (checksum % 576L).toInt
       val height = 64 + (payload.length % 416)
       (width, height)
     }
   }
 
-  private def md5Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    // per-row hot path (one digest per payload): thread-local digest reuse +
+    // table-driven hex, identical output to the per-byte format form
+    val d = md5Digest.get().digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) & 0xf0) >>> 4)
+      out(2 * i + 1) = hexChars(d(i) & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def byteSum997(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc += bytes(i) & 0xff; i += 1 }
+    acc % 997L
+  }
 
   /** Distributed metadata extraction: one decoder per partition, streaming
     * through rows (no per-row decoder setup, no driver collect). Real header
@@ -445,7 +468,7 @@ object Multimodal {
     rows.mapPartitions { it =>
       // per-partition decoder/codec initialization would go here
       it.map { r =>
-        val checksum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)) % 997L
+        val checksum = byteSum997(r.payload)
         val (fmt, w, h) = HeaderDecoder.decode(r.payload) match {
           case Some(ok) => ok
           case None =>

@@ -82,24 +82,34 @@ object TextClassifier {
     a - lit(48) - when(a >= lit(97), lit(39)).otherwise(lit(0))
   }
 
-  /** First 16 bits of md5(c) as an int in [0, 65536) — the Column-lambda
-    * twin of [[graft.ops.PortableHash.md5Bits16]]. */
-  def md5Bits16(c: Column): Column = {
-    val h = md5(c)
+  /** First 16 bits of an ALREADY-COMPUTED lowercase md5 hex digest as an int
+    * in [0, 65536). Split out from [[md5Bits16]] so callers inside
+    * higher-order lambdas can bind the digest once: lambda bodies are
+    * evaluated interpreted per element with NO common-subexpression
+    * elimination, so an inlined `md5(t)` re-hashes the token once per
+    * reference — 8× per token in the old scoreMilli (2 ascii probes × 4
+    * nibbles), measured as most of q_text_classifier's wall time. */
+  private def bits16OfDigest(h: Column): Column =
     nibble(h, 1) * lit(4096) + nibble(h, 2) * lit(256) +
       nibble(h, 3) * lit(16) + nibble(h, 4)
-  }
+
+  /** First 16 bits of md5(c) as an int in [0, 65536) — the Column-lambda
+    * twin of [[graft.ops.PortableHash.md5Bits16]]. */
+  def md5Bits16(c: Column): Column = bits16OfDigest(md5(c))
 
   /** Exact BIGINT document score in milliunits: bias + Σ over tokens of
-    * weights[md5Bits16(token) mod dim]. One narrow expression — whole-stage
-    * codegen, zero shuffle, scales as a map over any corpus size. */
+    * weights[md5Bits16(token) mod dim]. One narrow expression — zero
+    * shuffle, scales as a map over any corpus size. The token digest is
+    * computed ONCE in an inner transform and the weight lookup folds over
+    * the digest array, so each token is md5-hashed exactly once (identical
+    * values — same digest, same nibble arithmetic, same left-fold order). */
   def scoreMilli(text: Column, model: LinearTextModel): Column = {
     val weightsLit = typedLit(model.weightsMilli.toSeq)
     aggregate(
-      transform(split(text, " "),
-        t => element_at(weightsLit, (pmod(md5Bits16(t), lit(model.dim)) + lit(1)).cast("int"))),
+      transform(split(text, " "), t => md5(t)),
       lit(model.biasMilli),
-      (acc, w) => acc + w)
+      (acc, h) => acc + element_at(weightsLit,
+        (pmod(bits16OfDigest(h), lit(model.dim)) + lit(1)).cast("int")))
   }
 
   /** Apply the classifier: (idCol, score_milli, keep). `keep` is the
