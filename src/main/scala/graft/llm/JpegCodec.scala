@@ -218,6 +218,11 @@ object JpegCodec {
     }
   }
 
+  private lazy val EncDcTables =
+    Array(encTable(DcLumaBits, DcLumaVals), encTable(DcChromaBits, DcChromaVals))
+  private lazy val EncAcTables =
+    Array(encTable(AcLumaBits, AcLumaVals), encTable(AcChromaBits, AcChromaVals))
+
   /** DC/AC magnitude category (F.1.2.1.1): bits needed for |v| */
   private def category(v: Int): Int = {
     var a = math.abs(v)
@@ -301,8 +306,11 @@ object JpegCodec {
     }
     val planes = (0 until channels).map(plane)
     val qFor = (c: Int) => if (c == 0) QLuma else QChroma
-    val encDc = Array(encTable(DcLumaBits, DcLumaVals), encTable(DcChromaBits, DcChromaVals))
-    val encAc = Array(encTable(AcLumaBits, AcLumaVals), encTable(AcChromaBits, AcChromaVals))
+    // the Annex-K encoder Huffman tables are constants — built once per JVM
+    // (EncDcTables/EncAcTables), not once per encode call; per-image table
+    // construction was a measurable share of small-image encode cost
+    val encDc = EncDcTables
+    val encAc = EncAcTables
 
     val bits = new BitWriter(out)
     val lastDc = new Array[Int](channels)
@@ -538,6 +546,13 @@ object JpegCodec {
     val lastDc = new Array[Int](ncomp)
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
+    // nonzero-coefficient walk for the IDCT: indices in (u,v)-ascending order
+    // with the cu·cv·f prefactor folded in. Bit-identical to the full 64-term
+    // scan — same terms, same summation order, same multiply association
+    // (((cu*cv)*f)*Cos)*Cos — but per-pixel cost drops from 64 probes to the
+    // block's nonzero count (1 for flat blocks, typically ≪64 elsewhere).
+    val nzIdx = new Array[Int](64)
+    val nzG = new Array[Double](64)
     var mcu = 0
     var rst = 0
     var by = 0
@@ -577,25 +592,34 @@ object JpegCodec {
             }
           }
           if (br.truncated || br.hitMarker) return None
-          // IDCT (A.3.3)
+          // IDCT (A.3.3), nonzero-coefficient form (see nzIdx/nzG above)
+          var nnz = 0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val f = coef(u * 8 + v)
+              if (f != 0) {
+                val cu = if (u == 0) InvSqrt2 else 1.0
+                val cv = if (v == 0) InvSqrt2 else 1.0
+                nzIdx(nnz) = u * 8 + v
+                nzG(nnz) = cu * cv * f
+                nnz += 1
+              }
+              v += 1
+            }
+            u += 1
+          }
           var y = 0
           while (y < 8) {
             var x = 0
             while (x < 8) {
               var s2 = 0.0
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  val f = coef(u * 8 + v)
-                  if (f != 0) {
-                    val cu = if (u == 0) InvSqrt2 else 1.0
-                    val cv = if (v == 0) InvSqrt2 else 1.0
-                    s2 += cu * cv * f * Cos(v)(x) * Cos(u)(y)
-                  }
-                  v += 1
-                }
-                u += 1
+              var t2 = 0
+              while (t2 < nnz) {
+                val idx = nzIdx(t2)
+                s2 += nzG(t2) * Cos(idx & 7)(x) * Cos(idx >> 3)(y)
+                t2 += 1
               }
               block(y * 8 + x) =
                 math.max(0L, math.min(255L, math.round(0.25 * s2) + 128)).toInt

@@ -502,6 +502,21 @@ object Multimodal {
     }
   }
 
+  /** Spread a source across the session's cores before a CPU-heavy per-row
+    * codec pass WHEN the scan arrives in fewer splits than half the cores:
+    * the sf-scale parquet is a single row group, so the whole decode pass
+    * would otherwise serialize in ONE task (measured: q_multimodal_jpeg ran
+    * its full encode+decode single-threaded). Hash-partitioning on the id
+    * column is deterministic under task retry (guide §2.5 — no rand-derived
+    * keys) and shuffles only the narrow pre-payload rows. A wide scan — the
+    * 100 TB case, thousands of splits — is left untouched: repartitioning
+    * payload bytes there would shuffle the corpus for nothing (guide §8). */
+  def spreadIfNarrow(df: DataFrame, idCol: String): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= want) df
+    else df.repartition(want, col(idCol))
+  }
+
   /** Wrap a string column as a binary media payload (the testdata has no real
     * media blobs; UTF-8 text bytes stand in — the plumbing is identical). */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaRow] = {

@@ -686,7 +686,8 @@ object LlmQueries {
 
     // multimodal plumbing: binary payload -> distributed (stub) decode -> meta
     "q_multimodal_meta" -> ((s, dir) => {
-      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      val media = Multimodal.asMedia(
+        Multimodal.spreadIfNarrow(t(s, dir, "documents"), "doc_id"), "doc_id", "text")
       Multimodal.extractMeta(media).toDF()
         .select(col("id"), col("n_bytes").cast("long").as("n_bytes"), col("digest"),
           col("checksum"), col("width").cast("long").as("width"),
@@ -717,7 +718,8 @@ object LlmQueries {
            |  ELSE concat('FFD8FFC0000B08', $hh4, $wh4, '01')
            |END""".stripMargin
       val media = Multimodal.asMedia(
-        t(s, dir, "documents").select(col("doc_id"), unhex(expr(payloadHex)).as("payload")),
+        Multimodal.spreadIfNarrow(t(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), unhex(expr(payloadHex)).as("payload")),
         "doc_id", "payload")
       Multimodal.extractMeta(media).toDF()
         .select(col("id"), col("format"), col("width").cast("long").as("width"),
@@ -756,8 +758,9 @@ object LlmQueries {
            |    lpad(hex((x * ($h - 1 - sr) + $d) % 256), 2, '0'))), ''),
            |  repeat('00', $pad))), '')""".stripMargin
       val media = Multimodal.asMedia(
-        t(s, dir, "documents").select(col("doc_id"),
-          unhex(expr(s"concat($headerHex, $pixelsHex)")).as("payload")),
+        Multimodal.spreadIfNarrow(t(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"),
+            unhex(expr(s"concat($headerHex, $pixelsHex)")).as("payload")),
         "doc_id", "payload")
       Multimodal.extractPixels(media).toDF()
         .select(col("id"), col("format"), col("width").cast("long").as("width"),
@@ -775,7 +778,8 @@ object LlmQueries {
     // MultimodalSpec rules out a symmetric encoder/decoder filter bug.
     "q_multimodal_png" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val docs = Multimodal.spreadIfNarrow(
+        t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id")), "doc_id").as[Long]
       val media = docs.map { d =>
         val w = (1 + d % 5).toInt
         val h = (1 + d % 4).toInt
@@ -804,7 +808,8 @@ object LlmQueries {
     // independent-pipeline test cover the general AC path.
     "q_multimodal_jpeg" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val docs = Multimodal.spreadIfNarrow(
+        t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id")), "doc_id").as[Long]
       val media = docs.map { d =>
         val w = 8 * (1 + d % 3).toInt
         val h = 8 * (1 + d % 2).toInt
@@ -829,7 +834,8 @@ object LlmQueries {
     // pass-order bug changes the checksum).
     "q_multimodal_gif" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val docs = Multimodal.spreadIfNarrow(
+        t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id")), "doc_id").as[Long]
       val pal = Array.tabulate(8)(i => (i * 31 % 256, i * 57 % 256, i * 11 % 256))
       val media = docs.map { d =>
         val w = (3 + d % 14).toInt
@@ -850,7 +856,8 @@ object LlmQueries {
     // mono), per document from doc_id alone.
     "q_multimodal_wav" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val docs = Multimodal.spreadIfNarrow(
+        t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id")), "doc_id").as[Long]
       val media = docs.map { d =>
         val frames = (40 + d % 60).toInt
         val payload =
