@@ -62,7 +62,21 @@ object Dedup {
     * follow-up densification literature — so signatures stay total.
     * Input: the [[shingleSets]] shape (idCol, shs: array<string>).
     * Output: (id, h0..h{numHashes-1}). */
-  def minhashSignatures(sets: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+  def minhashSignatures(sets: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    minhashSignaturesImpl(sets, idCol, numHashes, keepSets = false)
+
+  /** [[minhashSignatures]] with the shingle-set array CARRIED THROUGH:
+    * (id, shs, h0..h{n-1}). One materialization of this table serves both
+    * the LSH banding (signature columns) and the exact-Jaccard verify
+    * (shs) — the cascade previously checkpointed sets and signatures
+    * separately, paying two materialization jobs and two storage passes for
+    * rows that always travel together. Signature values are bit-identical
+    * to [[minhashSignatures]] (same fold, same bins). */
+  def minhashSignaturesWithSets(sets: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    minhashSignaturesImpl(sets, idCol, numHashes, keepSets = true)
+
+  private def minhashSignaturesImpl(sets: DataFrame, idCol: String, numHashes: Int,
+                                    keepSets: Boolean): DataFrame = {
     // NARROW per-document fold: digest the doc's shingle array once, then
     // take each bin's minimum with filter+transform+array_min inside the
     // same projection — no explode, no exchange, no aggregate. The earlier
@@ -73,14 +87,15 @@ object Dedup {
     // Semantics are bit-identical to the DuckDB oracle mirror: bin by the
     // digest's first nibble mod numHashes, min over the remaining 31 hex
     // chars, rotation densification for empty bins.
-    val ds = sets.select(col(idCol), expr("transform(shs, s -> md5(s))").as("ds"))
-    val raw = ds.select(col(idCol) +: (0 until numHashes).map { j =>
+    val carry: Seq[Column] = if (keepSets) Seq(col("shs")) else Seq.empty
+    val ds = sets.select(col(idCol) +: carry :+ expr("transform(shs, s -> md5(s))").as("ds"): _*)
+    val raw = ds.select(col(idCol) +: carry ++: (0 until numHashes).map { j =>
       array_min(expr(
         s"""transform(
            |  filter(ds, d -> (instr('0123456789abcdef', substring(d, 1, 1)) - 1) % $numHashes = $j),
            |  d -> substring(d, 2, 31))""".stripMargin)).as(s"r$j")
     }: _*)
-    raw.select(col(idCol) +: (0 until numHashes).map(j =>
+    raw.select(col(idCol) +: carry ++: (0 until numHashes).map(j =>
       coalesce((0 until numHashes).map(i => col(s"r${(j + i) % numHashes}")): _*).as(s"h$j")): _*)
   }
 
@@ -210,8 +225,8 @@ object Dedup {
   graft.ops.StaticScope.materialize(df) {
     val minM = if (minEstMatches >= 0) minEstMatches
                else math.ceil((threshold - 0.15) * numHashes).toInt
-    // EXPLICIT materialization of the two multiply-consumed intermediates,
-    // eager so every consumer reads stored blocks. An earlier formulation
+    // EXPLICIT materialization of the multiply-consumed intermediate, eager
+    // so every consumer reads stored blocks. An earlier formulation
     // relied on Catalyst ReuseExchange to share `sets` via its pinned
     // shuffle — but two of its three consumers reach it through the
     // BROADCAST side of the verify joins, and a broadcast exchange
@@ -222,15 +237,19 @@ object Dedup {
     // stores MEMORY_AND_DISK on executors: the shingle arrays spill rather
     // than pressure the heap, and the truncated lineage is a non-issue for
     // a bounded two-stage pipeline consumed immediately downstream.
-    val sets = shingleSets(df, textCol, idCol, k).localCheckpoint(true)
-    val sig = minhashSignatures(sets, idCol, numHashes).localCheckpoint(true)
+    // ONE combined (id, shs, h0..h{n-1}) checkpoint replaces the former
+    // separate sets + signatures materializations (r19: one fewer
+    // materialization job and storage pass; values bit-identical).
+    val ss = minhashSignaturesWithSets(shingleSets(df, textCol, idCol, k), idCol, numHashes)
+      .localCheckpoint(true)
     // the candidate set is tiny (pairs that agree on a band and the
     // signature estimate) — materializing it lets the verify joins broadcast
     // it against the stored shingle sets instead of replanning the whole
     // candidate pipeline as a join input
-    val pruned = lshCandidatesWithEstimate(sig, idCol, bands, numHashes / bands, minM, maxBucketSize)
-      .localCheckpoint(true)
-    verifiedJaccardFromSets(pruned, sets, idCol).filter(col("jaccard") >= threshold)
+    val pruned = lshCandidatesWithEstimate(ss.drop("shs"), idCol, bands, numHashes / bands,
+      minM, maxBucketSize).localCheckpoint(true)
+    verifiedJaccardFromSets(pruned, ss.select(col(idCol), col("shs")), idCol)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Gate for [[incrementalNearDups]]: true when the combined input estimate
@@ -281,8 +300,12 @@ object Dedup {
     val minM = if (minEstMatches >= 0) minEstMatches
                else math.ceil((threshold - 0.15) * numHashes).toInt
     val rowsPerBand = numHashes / bands
-    val newSets = shingleSets(newDocs, textCol, idCol, k).localCheckpoint(true)
-    val newSig = minhashSignatures(newSets, idCol, numHashes).localCheckpoint(true)
+    // one combined batch checkpoint (id, shs, h*), same fusion as
+    // minhashNearDups — the separate sets/sig views are cheap projections
+    val newSS = minhashSignaturesWithSets(
+      shingleSets(newDocs, textCol, idCol, k), idCol, numHashes).localCheckpoint(true)
+    val newSets = newSS.select(col(idCol), col("shs"))
+    val newSig = newSS.drop("shs")
     val allSig = existingSig.unionByName(newSig)
 
     def bandTable(sig: DataFrame): DataFrame = {
