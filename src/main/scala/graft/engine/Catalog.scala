@@ -182,7 +182,22 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
       if (sf.exists(stale)) sf.delete(stale, true)
     }
     else {
-      df.write.mode(SaveMode.Overwrite).parquet(path(id))
+      // Statistics-gated static write (r19): a small intermediate (the
+      // planner's own estimate, free) is written with AQE off and a handful
+      // of shuffle partitions — an EtlGroup DAG hand-off otherwise pays
+      // per-stage driver re-planning and a 32-wide final stage for a few MB
+      // of rows, multiplied by every node in the DAG (q_metagraph_whole: 55
+      // jobs). Large writes (the flagship's extraction outputs) sail past
+      // the gate untouched — AQE keeps its skew/coalesce duties. Scoped
+      // ONLY for plans bound to a per-node private session (SqlNode/DfNode
+      // isolation): mutating the SHARED session's conf here would race
+      // sibling nodes that EtlGroup runs concurrently. Shared-session
+      // callers (query builders) wrap their own StaticScope when it pays.
+      if (df.sparkSession ne spark)
+        graft.ops.StaticScope.scoped(df, minParts = 4) {
+          df.write.mode(SaveMode.Overwrite).parquet(path(id))
+        }
+      else df.write.mode(SaveMode.Overwrite).parquet(path(id))
       schemas.put(id, asReadSchema(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
     }
     ()

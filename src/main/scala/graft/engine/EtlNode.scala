@@ -134,8 +134,15 @@ class DfNode(
   extends EtlNode {
 
   def run(cat: Catalog): Unit = {
+    // per-node child session, the same isolation SqlNode has: plans built by
+    // `fn` bind to this session, so Catalog.write's statistics-gated static
+    // scope (r19) can adjust ITS conf without racing concurrently-running
+    // nodes — EtlGroup runs nodes in parallel, and a conf mutation on the
+    // shared session would leak into whatever a sibling node is planning.
+    val s = cat.spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", SqlNode.broadcastThreshold)
     val outs =
-      try fn(inputIds.map(cat.read))
+      try fn(inputIds.map(id => cat.readAny(id, s)))
       catch {
         case e: Throwable =>
           throw new RuntimeException(s"DfNode '$name' transform failed", e)
