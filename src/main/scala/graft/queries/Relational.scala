@@ -27,7 +27,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: group-agg (TPC-H Q1 shape)
     "q_agg_pricing" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      Tables.readSpread(s, dir, "lineitem", "l_orderkey")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -38,14 +38,14 @@ object Relational {
     // A1 variant: ROLLUP hierarchy (group + subtotal + grand total in one
     // pass — Spark expands the grouping sets inside a single aggregate)
     "q_agg_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      Tables.readSpread(s, dir, "lineitem", "l_orderkey")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
     }),
 
     // A1 variant: CUBE — every grouping-set combination in one aggregate
     "q_agg_cube" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      Tables.readSpread(s, dir, "lineitem", "l_orderkey")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
     }),
@@ -56,7 +56,7 @@ object Relational {
     // oracle-checked bit-exactly
     "q_distinct_sketch" -> ((s, dir) => {
       import graft.expr.KmvMinHashes
-      t(s, dir, "orders")
+      Tables.readSpread(s, dir, "orders", "o_orderkey")
         .select(col("o_orderpriority"), col("o_custkey").cast("string").as("ck"))
         .groupBy("o_orderpriority")
         .agg(KmvMinHashes(col("ck"), 64).as("sketch"))
@@ -119,7 +119,7 @@ object Relational {
     // quantile_cont; both sides round to 6dp to absorb the engines'
     // algebraically-equal-but-ulp-different interpolation formulas)
     "q_group_quantiles" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      Tables.readSpread(s, dir, "lineitem", "l_orderkey")
         .groupBy("l_returnflag")
         .agg(percentile(col("l_quantity"),
           array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("q"))
