@@ -39,7 +39,8 @@ object LlmQueries {
     // builds are side-effecting (they write parquet), and TrieMap may run a
     // racing getOrElseUpdate body twice — two overwrite-writes to the same
     // path. computeIfAbsent locks the bin, so the build runs at most once.
-    private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val tables =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
     private val codebooks =
       new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
     /** Cache key: artifact name + the sf dir + an INPUT FINGERPRINT of the
@@ -60,12 +61,20 @@ object LlmQueries {
           (scala.util.hashing.MurmurHash3.stringHash(fp).toLong & 0xffffffffL))
     }
     def table(s: SparkSession, k: String)(build: => DataFrame): DataFrame = {
-      val path = tables.computeIfAbsent(k, _ => {
+      // schema memoized WITH the path (same rule as Tables' memo): a bare
+      // s.read.parquet would run a one-task footer-inference job in every
+      // fresh session that touches the artifact — pure per-query floor for
+      // the whole ANN family under the bench's session isolation
+      val (path, schema) = tables.computeIfAbsent(k, _ => {
         val p = s"$root/$k.parquet"
         build.write.mode("overwrite").parquet(p)
-        p
+        // memoize the INFERRED read schema (one footer job, at build time
+        // only) — the written df.schema can differ in nullability from what
+        // a parquet read reports, and a mismatched user schema would
+        // silently change downstream plan shapes
+        (p, s.read.parquet(p).schema)
       })
-      s.read.parquet(path)
+      s.read.schema(schema).parquet(path)
     }
     def codebook(k: String)(build: => Array[Array[Array[Long]]]): Array[Array[Array[Long]]] =
       codebooks.computeIfAbsent(k, _ => build)
