@@ -370,6 +370,21 @@ REFOLD_FAMILIES = {
         "subkeys": {"stragglers": ["lsh", "lsh_multiprobe"],
                     "loads": ["lsh", "lsh_multiprobe"]},
     }],
+    # r19: the JPEG codec's IDCT moved to a nonzero-coefficient walk; the
+    # kept record's jpeg sub-experiment predates it. `derived` lists leaves
+    # computed FROM the clock (rows/s, MB/s, straggler) — excluded from the
+    # determinism witness (n/mb/checksum must still agree exactly).
+    "scale_multimodal": [{
+        "name": "jpeg",
+        "fields": ["jpeg"],
+        "subkeys": {"phase_loads": ["jpeg_decode"]},
+        "derived": ["rows_per_sec", "mb_per_sec", "straggler"],
+        # decision clock: decode only. gen_sec (the encoder) is 5-10x the
+        # decode and moves with ambient load, so a summed clock would let a
+        # loaded encode window veto a clean decode measurement; the adopted
+        # sub-record is still ONE run's numbers as a unit (gen included).
+        "clock_keys": ["decode_sec"],
+    }],
 }
 
 
@@ -382,12 +397,15 @@ def _clock_sum(v):
     return 0.0
 
 
-def _nonclock(v):
-    """Recursive copy with clock leaves removed — the determinism witness."""
+def _nonclock(v, derived=()):
+    """Recursive copy with clock leaves (and clock-DERIVED leaves named in
+    the family's `derived` list: rates, stragglers) removed — the
+    determinism witness."""
     if isinstance(v, dict):
-        return {k: _nonclock(x) for k, x in v.items()
-                if not (isinstance(x, (int, float))
-                        and (k == "sec" or k.endswith("_sec")))}
+        return {k: _nonclock(x, derived) for k, x in v.items()
+                if not ((isinstance(x, (int, float))
+                         and (k == "sec" or k.endswith("_sec")))
+                        or k in derived)}
     return v
 
 
@@ -403,14 +421,20 @@ def refold_families(metric, old, rec):
         # inside dict fields) must agree, else this is a different experiment
         # (changed planes/geometry) and field-level mixing would lie.
         # Scalar `*_sec` fields are pure clock — no witness to compare.
-        if any(_nonclock(old[f]) != _nonclock(rec[f])
+        derived = tuple(fam.get("derived", ()))
+        if any(_nonclock(old[f], derived) != _nonclock(rec[f], derived)
                for f in clocked if isinstance(old[f], dict)) or \
            any(old[f] != rec[f] for f in plain):
             continue
-        old_clock = sum(float(old[f]) if not isinstance(old[f], dict)
-                        else _clock_sum(old[f]) for f in clocked)
-        new_clock = sum(float(rec[f]) if not isinstance(rec[f], dict)
-                        else _clock_sum(rec[f]) for f in clocked)
+        ck = fam.get("clock_keys")
+        def fam_clock(src):
+            if ck:
+                return sum(float(src[f][k]) for f in clocked
+                           if isinstance(src[f], dict) for k in ck if k in src[f])
+            return sum(float(src[f]) if not isinstance(src[f], dict)
+                       else _clock_sum(src[f]) for f in clocked)
+        old_clock = fam_clock(old)
+        new_clock = fam_clock(rec)
         if new_clock < old_clock:
             for f in fields:
                 old[f] = rec[f]
