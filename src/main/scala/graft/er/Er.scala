@@ -212,6 +212,22 @@ object ConnectedComponents {
 
   /** @param edges two-column DataFrame (src, dst); integral or string ids
     * @return (id, component) where component = min id reachable — deterministic. */
+  /** True when `plan` is a narrow wrapper over an ALREADY-materialized
+    * table (a checkpoint `LogicalRDD` or a driver `LocalRelation`):
+    * re-evaluating such a plan re-reads stored blocks, so the defensive
+    * pair checkpoint below would only write a second copy of the edge set
+    * and pay one more job. Anything else (a live cascade, a scan with
+    * filters that might be expensive, a join) keeps the checkpoint — the
+    * conservative direction. */
+  private def isMaterializedScan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => isMaterializedScan(p.child)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => isMaterializedScan(a.child)
+      case _ => false
+    }
+
   def run(edges: DataFrame, maxIter: Int = 50,
           driverThreshold: Long = DriverPathMaxEdges): DataFrame = {
     val spark = edges.sparkSession
@@ -226,7 +242,12 @@ object ConnectedComponents {
     // propagation work is ~1s/round). Checkpointing materializes the edge
     // set once and truncates the upstream lineage; blocks are freed by the
     // ContextCleaner once the DataFrame is unreferenced.
-    val s = edges.toDF("src", "dst").localCheckpoint(true)
+    // Skipped automatically when the input is already a materialized scan
+    // (see isMaterializedScan) — the dedup cascade hands over an eager
+    // checkpoint, and re-checkpointing it only duplicated the edge storage.
+    val s =
+      if (isMaterializedScan(edges.queryExecution.optimizedPlan)) edges.toDF("src", "dst")
+      else edges.toDF("src", "dst").localCheckpoint(true)
     // undirected: symmetrize LAZILY over the checkpointed blocks — narrow
     // (block read, no shuffle), so re-evaluating it each round costs
     // nothing and a second eager checkpoint would only re-write the whole
