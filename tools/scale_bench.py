@@ -558,6 +558,13 @@ def main():
                       f"SMALLER workload {workload(rec)} than the stored "
                       f"{workload(old)} (SCALE_ALLOW_DOWNSIZE=1 to override)",
                       file=sys.stderr)
+                # the record survives whole, but a deliberately smaller
+                # validation run can still contribute cleaner NOT-LAST curve
+                # points (row-count witnesses inside merge_flagship_points
+                # prove the same workload; the last point never folds) —
+                # without this, a post-optimization x100 re-measurement could
+                # never improve the curve without re-running x800
+                merge_flagship_points(old, rec)
             elif covers and k in PRIMARY and PRIMARY[k](old) <= PRIMARY[k](rec):
                 print(f"[scale] keeping existing {k} record "
                       f"({PRIMARY[k](old):.1f}s <= {PRIMARY[k](rec):.1f}s)", file=sys.stderr)
