@@ -223,7 +223,11 @@ object ConnectedComponents {
     plan match {
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project => isMaterializedScan(p.child)
+      // a NONDETERMINISTIC projection (rand, uuid, monotonically_increasing_id)
+      // over a materialized scan is NOT stable across re-evaluations — the
+      // checkpoint it would skip is exactly what pins such values (r19 advice)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.forall(_.deterministic) && isMaterializedScan(p.child)
       case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => isMaterializedScan(a.child)
       case _ => false
     }

@@ -511,11 +511,8 @@ object Multimodal {
     * keys) and shuffles only the narrow pre-payload rows. A wide scan — the
     * 100 TB case, thousands of splits — is left untouched: repartitioning
     * payload bytes there would shuffle the corpus for nothing (guide §8). */
-  def spreadIfNarrow(df: DataFrame, idCol: String): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= want) df
-    else df.repartition(want, col(idCol))
-  }
+  def spreadIfNarrow(df: DataFrame, idCol: String): DataFrame =
+    graft.ops.Spread.full(df, idCol)
 
   /** Wrap a string column as a binary media payload (the testdata has no real
     * media blobs; UTF-8 text bytes stand in — the plumbing is identical). */

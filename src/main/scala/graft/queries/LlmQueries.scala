@@ -695,8 +695,12 @@ object LlmQueries {
 
     // multimodal plumbing: binary payload -> distributed (stub) decode -> meta
     "q_multimodal_meta" -> ((s, dir) => {
+      // size-clamped spread (not full width): the meta pass is per-BYTE
+      // bound over the real payload column, and r19's full-width spread
+      // cost more than it bought on the ~600 KB input (guide §2, r19
+      // verdict) — Spread.bySize leaves inputs this small unspread
       val media = Multimodal.asMedia(
-        Multimodal.spreadIfNarrow(t(s, dir, "documents"), "doc_id"), "doc_id", "text")
+        graft.ops.Spread.bySize(t(s, dir, "documents"), "doc_id"), "doc_id", "text")
       Multimodal.extractMeta(media).toDF()
         .select(col("id"), col("n_bytes").cast("long").as("n_bytes"), col("digest"),
           col("checksum"), col("width").cast("long").as("width"),

@@ -59,20 +59,13 @@ object Tables {
     ()
   }
 
-  /** [[read]] + conditional cross-core spread for CPU-heavy per-row
+  /** [[read]] + conditional cross-core spread for CPU-heavy per-byte
     * consumers (Expand-based cube/rollup, per-row digest aggregates): the
     * sf-scale tables are single-row-group parquet, so the scan — and every
     * narrow stage above it (Expand, partial aggregation, per-row hashing) —
     * otherwise runs in ONE task (measured: q_agg_cube 1.14 s warm, almost
     * all of it the single-threaded 4× Expand + decimal partial aggregate).
-    * Hash-partitioning on a high-cardinality column is deterministic under
-    * retry (guide §2.5) and moves the narrow work to full width; a
-    * production many-split scan is left untouched — the gate, not the
-    * spread, is the scale story. */
-  def readSpread(s: SparkSession, dir: String, name: String, keyCol: String): DataFrame = {
-    val df = read(s, dir, name)
-    val want = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= want) df
-    else df.repartition(want, org.apache.spark.sql.functions.col(keyCol))
-  }
+    * Width is clamped to the data (r20): see [[graft.ops.Spread.bySize]]. */
+  def readSpread(s: SparkSession, dir: String, name: String, keyCol: String): DataFrame =
+    graft.ops.Spread.bySize(read(s, dir, name), keyCol)
 }
