@@ -41,7 +41,8 @@ object QProfile {
           if (dumpJobs) {
             val site = Option(j.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?")
             val tasks = j.stageInfos.map(_.numTasks).sum
-            System.err.println(s"[qprofile][job ${j.jobId}] $site stages=${j.stageInfos.size} tasks=$tasks")
+            val names = j.stageInfos.map(si => s"${si.name.takeWhile(_ != '(')}:${si.numTasks}").mkString(",")
+            System.err.println(s"[qprofile][job ${j.jobId}] $site stages=${j.stageInfos.size} tasks=$tasks [$names]")
           }
           ()
         }

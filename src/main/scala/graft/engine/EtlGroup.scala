@@ -48,6 +48,19 @@ class EtlGroup(
       .filterNot(external.contains)
   }
 
+  /** DAG-internal ids consumed by exactly ONE unit (r20): lazily composing
+    * such an id into its single consumer can never duplicate work — the
+    * recompute-per-consumer trade that makes all-in [[execute]]
+    * `inDbIntermediates` wrong for fan-out DAGs does not exist here. This is
+    * the safe InDb subset for DAGs that mix single-consumer hand-offs
+    * (extraction → grouping) with multi-consumer ones (grouping → validators
+    * + export + result), e.g. the metagraph pipeline. */
+  def singleConsumerIntermediateIds: Seq[String] = {
+    val consumerCount = units.flatMap(_.inputIds.distinct)
+      .groupBy(identity).map { case (id, xs) => id -> xs.size }
+    intermediateIds.filter(id => consumerCount.getOrElse(id, 0) == 1)
+  }
+
   /** unit -> units it depends on (via shared ids). */
   private val deps: Map[EtlNode, Seq[EtlNode]] =
     units.map(u => u -> u.inputIds.flatMap(producedBy.get).distinct).toMap
@@ -86,14 +99,23 @@ class EtlGroup(
     * are cheap to recompute (measured at sf0.1: the 4-node as-of DAG runs
     * 38% faster composed); leave off — materialize-once — for expensive
     * multi-consumer intermediates or restartable long pipelines. */
-  def execute(cat: Catalog, maxActiveRun: Int, inDbIntermediates: Boolean = false): Unit = {
+  /** `inDbSingleConsumer = true` marks only [[singleConsumerIntermediateIds]]
+    * — the subset where lazy composition is a pure win (no recompute
+    * possible); multi-consumer intermediates stay materialize-once parquet.
+    * Subsumed by `inDbIntermediates` when both are set. */
+  def execute(cat: Catalog, maxActiveRun: Int, inDbIntermediates: Boolean = false,
+              inDbSingleConsumer: Boolean = false): Unit = {
     require(maxActiveRun >= 1)
     // mark is PER-RUN state: unmark on every exit path, else the next run of
     // any group writing a colliding id on this catalog — including this
     // group re-run with the default flag — silently loses durability
-    if (inDbIntermediates) cat.markInDb(intermediateIds)
+    val marked =
+      if (inDbIntermediates) intermediateIds
+      else if (inDbSingleConsumer) singleConsumerIntermediateIds
+      else Seq.empty
+    if (marked.nonEmpty) cat.markInDb(marked)
     try executeInner(cat, maxActiveRun)
-    finally if (inDbIntermediates) cat.unmarkInDb(intermediateIds)
+    finally if (marked.nonEmpty) cat.unmarkInDb(marked)
   }
 
   private def executeInner(cat: Catalog, maxActiveRun: Int): Unit = {

@@ -240,6 +240,14 @@ object Dedup {
     // ONE combined (id, shs, h0..h{n-1}) checkpoint replaces the former
     // separate sets + signatures materializations (r19: one fewer
     // materialization job and storage pass; values bit-identical).
+    // Trade-off (r19 advice): checkpoint block reads are ROW-oriented, so
+    // the signature-only consumer below (ss.drop("shs")) deserializes the
+    // heavy shingle arrays it immediately discards — a measured win at
+    // bench scale (the saved materialization job dominates), but where
+    // shingle arrays dominate row size at large corpora the slim separate
+    // signature checkpoint can win back; columnar stores don't have this
+    // tension (see q_dedup_incremental's fused PARQUET index, which prunes
+    // shs at the scan).
     val ss = minhashSignaturesWithSets(shingleSets(df, textCol, idCol, k), idCol, numHashes)
       .localCheckpoint(true)
     // the candidate set is tiny (pairs that agree on a band and the

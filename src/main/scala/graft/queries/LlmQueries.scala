@@ -365,11 +365,21 @@ object LlmQueries {
       // the setup writes too — on a small corpus their AQE stage
       // re-planning was most of the remaining wall time
       graft.ops.StaticScope.scoped(docs) {
-        cat.write(Dedup.shingleSets(existing, "text", "doc_id", k = 5), "idx_sets")
-        cat.write(Dedup.minhashSignatures(cat.read("idx_sets"), "doc_id", numHashes = 8), "idx_sig")
+        // ONE fused (id, shs, h0..h7) index artifact (r20, the same fusion
+        // discipline as the in-memory cascade): the r19 shape wrote shingle
+        // sets, read them back, computed signatures, and wrote those too —
+        // two write+read cycles and an extra scan for rows that always
+        // travel together. The artifact is PARQUET, so each consumer prunes
+        // to its columns at the scan (the sig read never deserializes the
+        // heavy shs arrays — unlike a fused localCheckpoint block read).
+        // Same signature values (same fold), same pairs out.
+        cat.write(Dedup.minhashSignaturesWithSets(
+          Dedup.shingleSets(existing, "text", "doc_id", k = 5), "doc_id", numHashes = 8), "idx")
+        val idx = cat.read("idx")
         val (pairs, _, _) = Dedup.incrementalNearDups(
           newBatch, "text", "doc_id",
-          existingSets = cat.read("idx_sets"), existingSig = cat.read("idx_sig"),
+          existingSets = idx.select(col("doc_id"), col("shs")),
+          existingSig = idx.drop("shs"),
           k = 5, numHashes = 8, bands = 4, threshold = 0.9)
         pairs
       }

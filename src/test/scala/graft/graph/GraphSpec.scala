@@ -67,6 +67,24 @@ class GraphSpec extends AnyFunSuite {
     assert(Validate.violations(links, nodes, "from_id").count() === 0)
   }
 
+  test("Batched link-id validator: one action, per-check messages, all checks evaluated") {
+    val cat = new graft.engine.Catalog(spark,
+      Files.createTempDirectory("val_batch").toString)
+    cat.write(Seq(1L, 2L).toDF("node_id"), "gn_a")
+    cat.write(Seq(10L, 20L).toDF("node_id"), "gn_b")
+    cat.write(Seq((1L, 10L), (2L, 99L)).toDF("from_id", "to_id"), "gl_x")
+    // clean check set: passes silently
+    Validate.linkIdValidators(Seq(("gl_x", "gn_a", "from_id")))
+      .run(cat)
+    // dirty to_id: fails with the same message shape as the per-check node
+    val ex = intercept[Exception] {
+      Validate.linkIdValidators(Seq(
+        ("gl_x", "gn_a", "from_id"), ("gl_x", "gn_b", "to_id"))).run(cat)
+    }
+    // DfNode wraps node failures; the per-check message rides the cause
+    assert(ex.getCause.getMessage.contains("1 to_id values in 'gl_x' missing from 'gn_b'"))
+  }
+
   test("RedisGraph node CSV: typed headers, quote-nonnumeric, backslash escapes (redisgraph.py:36-50)") {
     val nodes = Seq(
       (11L, "plain", 1.5),
@@ -107,6 +125,29 @@ class GraphSpec extends AnyFunSuite {
     // dangling sink (node 0 has no out-edges): its unredistributed mass
     // leaks, so total mass is strictly below 1.0 — the documented semantics
     assert(star.values.sum < 1000000000L)
+  }
+
+  test("PageRank: broadcast (RDD-loop) path agrees with shuffle path, rank for rank") {
+    // the broadcast path's rounds now run as raw-RDD aggregates (r20); the
+    // shuffle path is untouched Catalyst SQL — bit-equal integer ranks on
+    // random graphs pin the arithmetic (div rounding, absent-s default,
+    // dangling leak) across the rewrite
+    val rnd = new scala.util.Random(193)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(15)
+      val edges = (for (a <- 0 until n; b <- 0 until n
+                        if a != b && rnd.nextDouble() < 0.15) yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val viaBroadcast = Analytics.pageRank(edges.toDF("src", "dst"), iters = 10)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        System.setProperty("graft.pr.broadcastMaxNodes", "0")
+        try {
+          val viaShuffle = Analytics.pageRank(edges.toDF("src", "dst"), iters = 10)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(viaBroadcast === viaShuffle, s"trial $trial")
+        } finally System.clearProperty("graft.pr.broadcastMaxNodes")
+      }
+    }
   }
 
   test("Triangle count: K4, hub wedges, direction/duplicate/self-loop invariance") {

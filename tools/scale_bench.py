@@ -481,7 +481,8 @@ def merge_flagship_points(keep, other):
     for p in keep.get("points", [])[:-1]:
         o = by_copies.get(p["copies"])
         if o and "total_sec" in o and "result_sec" in o \
-                and o.get("graph_rows") == p.get("graph_rows") \
+                and o.get("graph_rows") is not None \
+                and o["graph_rows"] == p.get("graph_rows") \
                 and o["total_sec"] < p["total_sec"]:
             print(f"[scale] flagship x{p['copies']}: folding in cleaner point "
                   f"({o['total_sec']:.1f}s < {p['total_sec']:.1f}s)", file=sys.stderr)
