@@ -343,7 +343,13 @@ object LlmQueries {
           Seq(docs.join(losers, Seq("doc_id"), "left_anti")
             .select(col("doc_id"), md5(col("text").cast("binary")).as("digest")))
         })
-      new EtlGroup("dedup_rewrite", Seq(mapping, rewrite)).execute(cat, maxActiveRun = 2)
+      // rw_mapping has exactly ONE consumer (the rewrite node): the lazy
+      // single-consumer hand-off composes it into the anti-join instead of
+      // paying a parquet write + footer + read hop (r20, same policy as
+      // q_metagraph_whole). rw_corpus stays a durable dataset — the cache
+      // snapshot below reads it, and it is the group's external output.
+      new EtlGroup("dedup_rewrite", Seq(mapping, rewrite))
+        .execute(cat, maxActiveRun = 2, inDbSingleConsumer = true)
       cat.snapshot("rw_corpus")
       cat.loadCache("rw_corpus")
     }),
